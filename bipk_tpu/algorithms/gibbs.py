@@ -1,0 +1,229 @@
+"""Algorithm 2 — PGAS outer Gibbs loop with marginalized GP parameters.
+
+Iterates the conditional SMC kernel (Algorithm 3), each sweep conditioning
+on the previously drawn trajectory, its interface variables, and its summed
+sufficient statistics.
+
+Behavioral parity: ``Algorithm2`` (``/root/reference/src/Algorithm2.py``).
+The reference nests a host Gibbs loop around a host time loop — roughly
+``N_iterations x N_steps`` device dispatches (600k for the oscillator
+workload). Here each sweep is one fused scan, and the Gibbs loop itself can
+run either fused (``lax.scan`` of sweeps — a single dispatch for the entire
+sampler) or as a thin host loop for progress reporting and checkpointing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from bipk_tpu.algorithms.csmc import build_csmc
+from bipk_tpu.models.ssm import GPNode, SSM
+from bipk_tpu.ops import mniw
+from bipk_tpu.ops.gaussian import mvn_logpdf_chol
+
+
+class GibbsResult(NamedTuple):
+    """Mirrors ``Algorithm2.__call__``'s returns
+    (``/root/reference/src/Algorithm2.py:180-187``)."""
+
+    states: jax.Array  # (T, K, dx) — trajectory draws per Gibbs iteration
+    int_vars: tuple  # each (T, K, n_i)
+    weights: jax.Array  # (T, K) uniform 1/K
+    stats: tuple  # each MNIW with leading (K, ...) — summed reference stats
+    outputs: jax.Array  # (T, K, dy)
+    log_likelihood: jax.Array  # (T, K)
+
+
+def summed_reference_stats(
+    gps: Sequence[GPNode], ref_state, ref_int_vars, inputs, dtype
+) -> tuple:
+    """Sum the rank-1 statistics of a full reference trajectory.
+
+    Parity with ``/root/reference/src/Algorithm2.py:84-102,139-152``.
+    """
+    out = []
+    for i, gp in enumerate(gps):
+        phi = jax.vmap(gp.basis_fn)(ref_state, inputs)
+        iv = jnp.atleast_2d(jnp.asarray(ref_int_vars[i], dtype=dtype).T).T
+        stats = jax.vmap(mniw.suff_stat)(iv, phi)
+        out.append(jax.tree_util.tree_map(lambda s: jnp.sum(s, axis=0), stats))
+    return tuple(out)
+
+
+def build_gibbs(
+    ssm: SSM,
+    gps: Sequence[GPNode],
+    n_particles: int,
+    n_iterations: int,
+    dtype=jnp.float32,
+    fused: bool = True,
+) -> Callable:
+    """Build the marginalized-PGAS Gibbs sampler.
+
+    Returns ``run(key, observations, inputs, init_state_mean,
+    init_state_cov, init_ref_state, init_ref_int_vars) -> GibbsResult``.
+    With ``fused=True`` the whole sampler is one jittable function; with
+    ``fused=False`` the outer loop runs on host (use for long runs that want
+    progress bars / periodic checkpointing via
+    ``bipk_tpu.utils.checkpoint``).
+    """
+    gps = tuple(gps) if isinstance(gps, (tuple, list)) else (gps,)
+    n_gp = len(gps)
+    csmc = build_csmc(ssm, gps, n_particles, dtype=dtype)
+
+    def sweep(key, observations, inputs, init_mean, init_cov, ref):
+        ref_state, ref_iv, ref_stats = ref
+        res = csmc(
+            key,
+            observations,
+            inputs,
+            init_mean,
+            init_cov,
+            ref_state,
+            ref_iv,
+            ref_stats,
+        )
+        new_state = res.state_traj
+        new_iv = tuple(
+            jnp.atleast_2d(v.T).T for v in res.int_var_traj
+        )
+        new_stats = summed_reference_stats(
+            gps, new_state, new_iv, inputs, dtype
+        )
+        return (new_state, new_iv, new_stats)
+
+    def finalize(observations, inputs, states_kt, iv_kt, stats_k):
+        # (K, T, ...) -> (T, K, ...) like the reference's axis swap
+        # (/root/reference/src/Algorithm2.py:153-157)
+        states = jnp.swapaxes(states_kt, 0, 1)
+        int_vars = tuple(jnp.swapaxes(v, 0, 1) for v in iv_kt)
+        output_chol = ssm.output_chol(dtype)
+
+        def out_and_ll(obs, x, inp, ivs):
+            out = jnp.atleast_1d(ssm.output(x, inp, *ivs))
+            return out, mvn_logpdf_chol(obs, out, output_chol)
+
+        outputs, log_lik = jax.vmap(
+            jax.vmap(out_and_ll, in_axes=(None, 0, None, 0)),
+            in_axes=(0, 0, 0, 0),
+        )(observations, states, inputs, int_vars)
+
+        n_steps = observations.shape[0]
+        weights = (
+            jnp.ones((n_steps, n_iterations), dtype=dtype) / n_iterations
+        )
+        return GibbsResult(
+            states=states,
+            int_vars=int_vars,
+            weights=weights,
+            stats=stats_k,
+            outputs=outputs,
+            log_likelihood=log_lik,
+        )
+
+    def prepare(observations, inputs, init_ref_state, init_ref_int_vars):
+        observations = jnp.asarray(observations, dtype=dtype)
+        inputs = jnp.asarray(inputs, dtype=dtype)
+        ref_state = jnp.atleast_2d(
+            jnp.asarray(init_ref_state, dtype=dtype).T
+        ).T
+        ref_iv = tuple(
+            jnp.atleast_2d(jnp.asarray(v, dtype=dtype).T).T
+            for v in init_ref_int_vars
+        )
+        ref_stats = summed_reference_stats(
+            gps, ref_state, ref_iv, inputs, dtype
+        )
+        return observations, inputs, (ref_state, ref_iv, ref_stats)
+
+    if fused:
+
+        def run(
+            key,
+            observations,
+            inputs,
+            init_state_mean,
+            init_state_cov,
+            init_ref_state,
+            init_ref_int_vars,
+        ):
+            observations, inputs, ref0 = prepare(
+                observations, inputs, init_ref_state, init_ref_int_vars
+            )
+
+            def body(ref, key_k):
+                new_ref = sweep(
+                    key_k,
+                    observations,
+                    inputs,
+                    init_state_mean,
+                    init_state_cov,
+                    ref,
+                )
+                return new_ref, new_ref
+
+            keys = jax.random.split(key, n_iterations - 1)
+            _, draws = jax.lax.scan(body, ref0, keys)
+            states_kt = jnp.concatenate([ref0[0][None], draws[0]])
+            iv_kt = tuple(
+                jnp.concatenate([ref0[1][i][None], draws[1][i]])
+                for i in range(n_gp)
+            )
+            stats_k = tuple(
+                jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a[None], b]),
+                    ref0[2][i],
+                    draws[2][i],
+                )
+                for i in range(n_gp)
+            )
+            return finalize(observations, inputs, states_kt, iv_kt, stats_k)
+
+        return run
+
+    def run_host(
+        key,
+        observations,
+        inputs,
+        init_state_mean,
+        init_state_cov,
+        init_ref_state,
+        init_ref_int_vars,
+        callback=None,
+    ):
+        observations, inputs, ref = prepare(
+            observations, inputs, init_ref_state, init_ref_int_vars
+        )
+        jit_sweep = jax.jit(sweep)
+        states = [ref[0]]
+        ivs = [ref[1]]
+        stats = [ref[2]]
+        for k in range(1, n_iterations):
+            key, key_k = jax.random.split(key)
+            ref = jit_sweep(
+                key_k,
+                observations,
+                inputs,
+                init_state_mean,
+                init_state_cov,
+                ref,
+            )
+            states.append(ref[0])
+            ivs.append(ref[1])
+            stats.append(ref[2])
+            if callback is not None:
+                callback(k, ref)
+        states_kt = jnp.stack(states)
+        iv_kt = tuple(jnp.stack([v[i] for v in ivs]) for i in range(n_gp))
+        stats_k = tuple(
+            jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *[s[i] for s in stats]
+            )
+            for i in range(n_gp)
+        )
+        return finalize(observations, inputs, states_kt, iv_kt, stats_k)
+
+    return run_host

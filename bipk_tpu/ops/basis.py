@@ -1,0 +1,152 @@
+"""Hilbert-space (reduced-rank) Gaussian-process basis functions.
+
+Laplace eigenfunctions of a box domain approximate a stationary GP prior
+(Solin & Sarkka, "Hilbert space methods for reduced-rank Gaussian process
+regression"): the GP over the unknown sub-function is expanded as
+``f(x) = A phi(x)`` where ``phi`` stacks the eigenfunctions with the
+smallest eigenvalues and the prior coefficient covariance is the kernel
+spectral density evaluated at the eigenfrequencies.
+
+Behavioral parity target: ``generate_Hilbert_BasisFunction``
+(``/root/reference/src/BasisFunctions.py:8-105``) — same eigenfunction
+``prod_d sqrt(1/L_d) sin(sqrt(lambda_d) (x_d + L_d))`` on the centered
+domain, same squared-exponential spectral density, same lowest-eigenvalue
+selection over the index lattice (including the ``idx_start``/``idx_step``
+even-index selection the vehicle example uses).
+
+Index selection runs on host in numpy at setup time; the returned
+eigenfunction closure is pure jittable JAX.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HilbertBasis(NamedTuple):
+    """A constructed basis: jittable feature map + prior spectral weights."""
+
+    eigen_fn: Callable[[jax.Array], jax.Array]
+    spectral_density: jax.Array  # (num_fcn,)
+    sqrt_eigenvalues: np.ndarray  # (num_fcn, dims) host-side, for inspection
+    centers: np.ndarray  # (dims,)
+    half_widths: np.ndarray  # (dims,)
+
+
+def _lowest_index_combinations(
+    per_dim_indices: np.ndarray, weights: np.ndarray, count: int
+) -> np.ndarray:
+    """Select the ``count`` index tuples minimizing ``sum_d w_d j_d^2``.
+
+    Lazy best-first expansion of the (monotone) index lattice: pop the
+    cheapest unvisited lattice point, push its +1-per-dimension neighbors.
+    Equivalent selection to ``/root/reference/src/BasisFunctions.py:27-58``.
+    """
+    dims = weights.shape[0]
+    sq = per_dim_indices.astype(np.float64) ** 2
+
+    def cost(pos: tuple) -> float:
+        return float(np.dot(weights, sq[list(pos)]))
+
+    origin = (0,) * dims
+    frontier: list[tuple[float, tuple]] = [(cost(origin), origin)]
+    seen = {origin}
+    chosen: list[np.ndarray] = []
+    limit = len(per_dim_indices)
+
+    while frontier and len(chosen) < count:
+        _, pos = heapq.heappop(frontier)
+        chosen.append(per_dim_indices[list(pos)])
+        for d in range(dims):
+            if pos[d] + 1 >= limit:
+                continue
+            nxt = pos[:d] + (pos[d] + 1,) + pos[d + 1 :]
+            if nxt in seen:
+                continue
+            seen.add(nxt)
+            heapq.heappush(frontier, (cost(nxt), nxt))
+
+    if len(chosen) < count:
+        raise ValueError(
+            f"index lattice exhausted: wanted {count} combinations, "
+            f"got {len(chosen)}"
+        )
+    return np.stack(chosen).astype(np.float64)
+
+
+def se_spectral_density(freq, magnitude, lengthscale) -> jax.Array:
+    """Spectral density of the squared-exponential kernel.
+
+    ``S(w) = magnitude (2 pi)^{D/2} prod_d l_d exp(-0.5 sum_d l_d^2 w_d^2)``,
+    matching ``_spectral_density_Gaussian``
+    (``/root/reference/src/BasisFunctions.py:83-105``). ``freq`` has shape
+    ``(..., D)``; lengthscale broadcasts against the last axis.
+    """
+    freq = jnp.atleast_2d(jnp.asarray(freq))
+    dims = freq.shape[-1]
+    ls = jnp.broadcast_to(jnp.asarray(lengthscale, dtype=freq.dtype), freq.shape)
+    amplitude = magnitude * (2.0 * jnp.pi) ** (dims / 2.0) * jnp.prod(
+        ls, axis=-1
+    )
+    return amplitude * jnp.exp(-0.5 * jnp.sum((ls * freq) ** 2, axis=-1))
+
+
+def make_hilbert_basis(
+    num_fcn: int,
+    domain: np.ndarray,
+    lengthscale,
+    magnitude,
+    idx_start: int = 1,
+    idx_step: int = 1,
+) -> HilbertBasis:
+    """Build a Hilbert-GP basis on a box ``domain`` of shape ``(dims, 2)``.
+
+    Returns the jittable eigenfunction ``phi: (dims,) -> (num_fcn,)`` (scalar
+    input allowed for 1-D domains) and the SE spectral density at the
+    eigenfrequencies — the diagonal prior coefficient covariance.
+
+    Parity: ``generate_Hilbert_BasisFunction``
+    (``/root/reference/src/BasisFunctions.py:8-74``), including the
+    ``idx_start < 1 -> 1`` clamp and the candidate-index span
+    ``idx_start .. num_fcn*idx_step + idx_start`` per dimension.
+    """
+    domain = np.atleast_2d(np.asarray(domain, dtype=np.float64))
+    dims = domain.shape[0]
+
+    centers = (domain[:, 0] + domain[:, 1]) / 2.0
+    sizes = domain[:, 1] - domain[:, 0]
+    half_widths = sizes / 2.0
+
+    start = max(int(idx_start), 1)
+    candidates = np.arange(
+        start, num_fcn * idx_step + 1 + start, idx_step, dtype=np.int64
+    )
+    weights = (np.pi / sizes) ** 2
+
+    index_mat = _lowest_index_combinations(candidates, weights, num_fcn)
+    # sqrt(lambda)_jd = pi j_d / (2 L_d) with L_d the half width
+    sqrt_eig = np.pi * index_mat / sizes[None, :]
+
+    sqrt_eig_dev = jnp.asarray(sqrt_eig)
+    centers_dev = jnp.asarray(centers)
+    half_dev = jnp.asarray(half_widths)
+    norm = jnp.prod(jnp.sqrt(1.0 / half_dev))
+
+    def eigen_fn(x: jax.Array) -> jax.Array:
+        x = jnp.atleast_1d(jnp.asarray(x))
+        shifted = x - centers_dev + half_dev  # position in [0, 2L]
+        return norm * jnp.prod(jnp.sin(sqrt_eig_dev * shifted), axis=-1)
+
+    density = se_spectral_density(sqrt_eig, magnitude, lengthscale)
+    return HilbertBasis(
+        eigen_fn=jax.jit(eigen_fn),
+        spectral_density=density,
+        sqrt_eigenvalues=sqrt_eig,
+        centers=centers,
+        half_widths=half_widths,
+    )

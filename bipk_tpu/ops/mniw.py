@@ -1,0 +1,293 @@
+"""Matrix-normal-inverse-Wishart (MNIW) conjugate algebra.
+
+Natural-parameter bookkeeping for a matrix-variate Gaussian likelihood
+``y = A phi + e``, ``e ~ N(0, S)`` with conjugate prior
+``A | S ~ MN(M, S, V)``, ``S ~ IW(Psi, nu)``.
+
+The four natural parameters / sufficient statistics are carried as a
+:class:`MNIW` pytree so priors and data statistics add elementwise:
+
+========  ===========  ==========================================
+field     shape        standard-parameter meaning
+========  ===========  ==========================================
+``T0``    ``(m, n)``   ``V^{-1} M^T``                (data: ``phi y^T``)
+``T1``    ``(m, m)``   ``V^{-1}``                    (data: ``phi phi^T``)
+``T2``    ``(n, n)``   ``M V^{-1} M^T + Psi``        (data: ``y y^T``)
+``T3``    ``()``       ``nu``                        (data: ``1``)
+========  ===========  ==========================================
+
+Semantics match the reference implementation
+(``/root/reference/src/BayesianInferrence.py:18-124``) but the layout is
+batch-first and the hot path exposes a fused Cholesky factorization
+(:func:`factorize`) that is shared between the posterior-mean evaluation and
+the matrix-t predictive — the reference re-factorizes ``prior + stats`` for
+each of those uses.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy as jsp
+
+
+class MNIW(NamedTuple):
+    """Natural parameters (or additive sufficient statistics) of an MNIW."""
+
+    T0: jax.Array  # (m, n)
+    T1: jax.Array  # (m, m)
+    T2: jax.Array  # (n, n)
+    T3: jax.Array  # ()
+
+    def __add__(self, other: "MNIW") -> "MNIW":  # type: ignore[override]
+        return MNIW(
+            self.T0 + other.T0,
+            self.T1 + other.T1,
+            self.T2 + other.T2,
+            self.T3 + other.T3,
+        )
+
+    def scale(self, factor) -> "MNIW":
+        """Exponential forgetting: multiply every statistic by ``factor``."""
+        return MNIW(
+            self.T0 * factor,
+            self.T1 * factor,
+            self.T2 * factor,
+            self.T3 * factor,
+        )
+
+
+class MNIWFactor(NamedTuple):
+    """Cholesky factorization of ``T1`` with derived quantities.
+
+    ``chol`` is lower-triangular with ``chol @ chol.T = sym(T1)``;
+    ``white_T0 = chol^{-1} T0`` so the posterior mean of ``A`` is
+    ``white_T0^T @ chol^{-1}`` and the predictive needs only triangular
+    solves against ``chol``.
+    """
+
+    chol: jax.Array  # (m, m) lower
+    white_T0: jax.Array  # (m, n)
+    row_scale: jax.Array  # (n, n) = T2 - white_T0^T white_T0
+    df: jax.Array  # ()
+
+
+class Predictive(NamedTuple):
+    """Matrix-t predictive distribution at a single basis vector."""
+
+    mean: jax.Array  # (n,)
+    col_scale: jax.Array  # () scalar phi^T V_post phi + 1
+    row_scale: jax.Array  # (n, n)
+    df: jax.Array  # ()
+
+
+def _default_jitter(dtype) -> float:
+    return 0.0 if jnp.dtype(dtype) == jnp.float64 else 1e-9
+
+
+def chol_spd(A: jax.Array, jitter: float | None = None) -> jax.Array:
+    """Cholesky of an SPD matrix with dtype-dependent relative jitter."""
+    if jitter is None:
+        jitter = _default_jitter(A.dtype)
+    if jitter:
+        scale = jnp.trace(A) / A.shape[-1]
+        A = A + (jitter * scale) * jnp.eye(A.shape[-1], dtype=A.dtype)
+    return jnp.linalg.cholesky(A)
+
+
+def solve_spd(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve ``A X = B`` for SPD ``A`` via Cholesky.
+
+    Mirrors ``/root/reference/src/BayesianInferrence.py:11-13``.
+    """
+    L = chol_spd(A)
+    return jsp.linalg.cho_solve((L, True), B)
+
+
+def natural_from_standard(
+    mean, col_cov, row_scale, df
+) -> MNIW:
+    """Standard MNIW parameters -> natural parameters.
+
+    Parity with ``prior_mniw_2naturalPara``
+    (``/root/reference/src/BayesianInferrence.py:18-32``).
+    """
+    mean = jnp.atleast_2d(jnp.asarray(mean))
+    col_cov = jnp.asarray(col_cov)
+    row_scale = jnp.atleast_2d(jnp.asarray(row_scale))
+
+    T0 = solve_spd(col_cov, mean.T)  # V^{-1} M^T
+    T1 = solve_spd(col_cov, jnp.eye(col_cov.shape[0], dtype=col_cov.dtype))
+    T2 = mean @ T0 + row_scale
+    T3 = jnp.asarray(df, dtype=mean.dtype)
+    return MNIW(T0, T1, T2, T3)
+
+
+def standard_from_natural(nat: MNIW):
+    """Natural parameters -> standard parameters ``(mean, col_cov, row_scale, df)``.
+
+    Parity with ``prior_mniw_2naturalPara_inv``
+    (``/root/reference/src/BayesianInferrence.py:35-45``).
+    """
+    L = chol_spd(nat.T1)
+    eye = jnp.eye(nat.T1.shape[0], dtype=nat.T1.dtype)
+    col_cov = jsp.linalg.cho_solve((L, True), eye)
+    mean = jsp.linalg.cho_solve((L, True), nat.T0).T
+    row_scale = nat.T2 - mean @ nat.T0
+    return jnp.atleast_2d(mean), col_cov, jnp.atleast_2d(row_scale), nat.T3
+
+
+def posterior_mean(nat: MNIW) -> jax.Array:
+    """Posterior mean coefficient matrix ``E[A] = (sym(T1)^{-1} T0)^T``.
+
+    Parity with ``prior_mniw_mean``
+    (``/root/reference/src/BayesianInferrence.py:48-50``).
+    """
+    T1_sym = 0.5 * (nat.T1 + nat.T1.T)
+    return solve_spd(T1_sym, nat.T0).T
+
+
+def suff_stat(y: jax.Array, phi: jax.Array) -> MNIW:
+    """Rank-1 sufficient statistics of one datum ``(y, phi)``.
+
+    Parity with ``prior_mniw_calcStatistics``
+    (``/root/reference/src/BayesianInferrence.py:53-61``).
+    """
+    y = jnp.atleast_1d(y)
+    return MNIW(
+        jnp.outer(phi, y),
+        jnp.outer(phi, phi),
+        jnp.outer(y, y),
+        jnp.asarray(1.0, dtype=phi.dtype),
+    )
+
+
+def factorize(nat: MNIW) -> MNIWFactor:
+    """Factor ``sym(T1)`` once; everything downstream is triangular solves.
+
+    This fuses the two separate SPD factorizations the reference performs per
+    filter step (``prior_mniw_mean`` at ``Algorithm1.py:212`` and
+    ``prior_mniw_2naturalPara_inv`` at ``Algorithm1.py:252``) into one.
+    """
+    T1_sym = 0.5 * (nat.T1 + nat.T1.T)
+    L = chol_spd(T1_sym)
+    white_T0 = jsp.linalg.solve_triangular(L, nat.T0, lower=True)
+    row_scale = nat.T2 - white_T0.T @ white_T0
+    return MNIWFactor(L, white_T0, row_scale, nat.T3)
+
+
+def factor_mean_at(factor: MNIWFactor, phi: jax.Array) -> jax.Array:
+    """Posterior-mean prediction ``E[A] phi`` from a shared factorization."""
+    v = jsp.linalg.solve_triangular(factor.chol, phi, lower=True)
+    return factor.white_T0.T @ v
+
+
+def factor_predictive(factor: MNIWFactor, phi: jax.Array) -> Predictive:
+    """Matrix-t predictive at basis vector ``phi`` from a factorization.
+
+    Equivalent to ``prior_mniw_2naturalPara_inv`` followed by
+    ``prior_mniw_Predictive`` (``/root/reference/src/BayesianInferrence.py:
+    35-45,64-89``) but with a single triangular solve instead of a fresh
+    Cholesky:  ``mean = W^T v``, ``col_scale = v^T v + 1`` where
+    ``v = chol^{-1} phi`` and ``W = chol^{-1} T0``.
+    """
+    n = factor.row_scale.shape[-1]
+    v = jsp.linalg.solve_triangular(factor.chol, phi, lower=True)
+    mean = factor.white_T0.T @ v
+    col_scale = v @ v + jnp.asarray(1.0, dtype=phi.dtype)
+    df = factor.df + 1.0 - n
+    return Predictive(mean, col_scale, factor.row_scale / df, df)
+
+
+def predictive(mean, col_cov, row_scale, df, phi) -> Predictive:
+    """Matrix-t predictive from standard parameters (single basis vector).
+
+    Parity with ``prior_mniw_Predictive``
+    (``/root/reference/src/BayesianInferrence.py:64-89``) for the
+    single-point case used throughout the algorithms.
+    """
+    mean = jnp.atleast_2d(mean)
+    row_scale = jnp.atleast_2d(row_scale)
+    n = row_scale.shape[0]
+    df_pred = df + 1.0 - n
+    pred_mean = mean @ phi
+    col_scale = phi @ col_cov @ phi + jnp.asarray(1.0, dtype=phi.dtype)
+    return Predictive(pred_mean, col_scale, row_scale / df_pred, df_pred)
+
+
+def sample_predictive(key: jax.Array, pred: Predictive) -> jax.Array:
+    """Draw from the matrix-t predictive (single basis vector).
+
+    Parity with ``prior_mniw_drawPred``
+    (``/root/reference/src/BayesianInferrence.py:92-108``): the draw is
+    ``mean + chol(row_scale) t * sqrt(col_scale)`` with iid Student-t ``t``.
+    """
+    chol_row = chol_spd(jnp.atleast_2d(pred.row_scale))
+    n = chol_row.shape[0]
+    t = jax.random.t(key, pred.df, shape=(n,), dtype=chol_row.dtype)
+    return pred.mean + (chol_row @ t) * jnp.sqrt(pred.col_scale)
+
+
+def log_base_measure(nat: MNIW) -> jax.Array:
+    """Log base measure / marginal-likelihood normalizer of the MNIW.
+
+    Parity with ``prior_mniw_log_base_measure``
+    (``/root/reference/src/BayesianInferrence.py:111-124``) but with
+    Cholesky-based log-determinants instead of ``log(det(.))`` for numerical
+    range (the reference overflows ``det`` long before ``logdet`` does).
+    """
+    n = nat.T2.shape[-1]
+    m = nat.T1.shape[-1]
+
+    L1 = chol_spd(0.5 * (nat.T1 + nat.T1.T))
+    white = jsp.linalg.solve_triangular(L1, nat.T0, lower=True)
+    Psi = nat.T2 - white.T @ white
+    logdet_T1 = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L1, axis1=-2, axis2=-1)))
+    LPsi = chol_spd(0.5 * (Psi + Psi.T))
+    logdet_Psi = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LPsi, axis1=-2, axis2=-1)))
+
+    nu = nat.T3
+    out = -0.5 * n * m * jnp.log(2.0 * jnp.pi)
+    out = out + 0.5 * n * logdet_T1
+    out = out - 0.5 * nu * n * jnp.log(2.0)
+    out = out - jsp.special.multigammaln(nu / 2.0, n)
+    out = out + 0.5 * nu * logdet_Psi
+    return out
+
+
+def sample_parameters(key: jax.Array, nat: MNIW):
+    """Draw ``(A, S)`` from the MNIW: ``S ~ IW(Psi, nu)``, ``A ~ MN(M, S, V)``.
+
+    The inverse-Wishart draw uses the Bartlett decomposition on the
+    precision side, as in ``PGAS.sample_params``
+    (``/root/reference/src/PGAS.py:310-341``): with ``R = chol(Psi)`` and a
+    Bartlett factor ``T`` (chi-square diagonal, standard-normal strict lower
+    triangle), ``C = R^{-T} T`` is a Cholesky factor of ``W ~ Wishart(nu,
+    Psi^{-1})`` and ``S = W^{-1}`` has Cholesky factor ``C^{-T}``.
+    """
+    mean, col_cov, row_scale, df = standard_from_natural(nat)
+    n = row_scale.shape[0]
+    dtype = row_scale.dtype
+
+    key_bartlett, key_normals, key_coeff = jax.random.split(key, 3)
+
+    chol_psi = chol_spd(row_scale)
+    eye = jnp.eye(n, dtype=dtype)
+    # L L^T = Psi^{-1}
+    L = jsp.linalg.solve_triangular(chol_psi, eye, lower=True)
+
+    dof = df - jnp.arange(n, dtype=dtype)
+    diag = jnp.sqrt(jax.random.chisquare(key_bartlett, dof, dtype=dtype))
+    lower = jnp.tril(jax.random.normal(key_normals, (n, n), dtype=dtype), k=-1)
+    bartlett = lower + jnp.diag(diag)
+
+    C = L @ bartlett
+    S_chol = jsp.linalg.solve_triangular(C.T, eye, lower=False)
+    S = S_chol @ S_chol.T
+
+    V_chol = chol_spd(col_cov)
+    Z = jax.random.normal(key_coeff, mean.shape, dtype=dtype)
+    A = mean + S_chol @ Z @ V_chol.T
+    return A, S

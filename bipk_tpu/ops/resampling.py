@@ -1,0 +1,84 @@
+"""Particle resampling primitives — jittable, scan- and shard-friendly.
+
+Parity target: ``systematic_SISR`` and ``reconstruct_trajectory``
+(``/root/reference/src/Filtering.py:6-55``). The backward ancestral
+reconstruction — a host-side numpy loop in the reference — is a reverse
+``lax.scan`` here so whole PGAS sweeps stay on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_weights(weights: jax.Array) -> jax.Array:
+    """Clip to non-negative and normalize; uniform fallback on zero mass.
+
+    Parity with ``/root/reference/src/Filtering.py:23-25``.
+    """
+    n = weights.shape[-1]
+    w = jnp.clip(weights, 0.0, jnp.inf)
+    total = jnp.sum(w, axis=-1, keepdims=True)
+    uniform = jnp.ones_like(w) / n
+    return jnp.where(total > 0, w / total, uniform)
+
+
+def systematic(key: jax.Array, weights: jax.Array) -> jax.Array:
+    """Systematic resampling: one shared uniform offset, stratified grid.
+
+    Takes unnormalized non-log weights, returns ``(N,)`` int32 ancestor
+    indices. Parity with ``systematic_SISR``
+    (``/root/reference/src/Filtering.py:6-37``).
+    """
+    n = weights.shape[-1]
+    w = normalize_weights(weights)
+    u = jax.random.uniform(key, dtype=w.dtype)
+    grid = (u + jnp.arange(n, dtype=w.dtype)) / n
+    cdf = jnp.clip(jnp.cumsum(w, axis=-1), 0.0, 1.0)
+    idx = jnp.searchsorted(cdf, grid)
+    return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
+
+
+def categorical_from_weights(key: jax.Array, weights: jax.Array) -> jax.Array:
+    """Single categorical draw via inverse-CDF on normalized weights.
+
+    Used for ancestor draws of the reference particle and for picking an
+    output trajectory (``/root/reference/src/Algorithm3.py:118-125,291-293``).
+    """
+    cdf = jnp.cumsum(weights, axis=-1)
+    u = jax.random.uniform(key, dtype=weights.dtype)
+    idx = jnp.searchsorted(cdf, u)
+    return jnp.clip(idx, 0, weights.shape[-1] - 1).astype(jnp.int32)
+
+
+def effective_sample_size(log_weights: jax.Array) -> jax.Array:
+    """ESS of log-weights: ``1 / sum(w_i^2)`` with normalized ``w``."""
+    w = jax.nn.softmax(log_weights, axis=-1)
+    return 1.0 / jnp.sum(w * w, axis=-1)
+
+
+def reconstruct_trajectory(
+    particles: jax.Array, ancestry: jax.Array, final_index: jax.Array
+):
+    """Follow ancestor indices backward to extract one particle trajectory.
+
+    ``particles`` is a pytree of ``(T, N, ...)`` traces, ``ancestry`` is
+    ``(T-1, N)`` where ``ancestry[t, j]`` is the time-``t`` ancestor of
+    particle ``j`` at time ``t+1``. Returns the pytree of ``(T, ...)``
+    trajectories. Device-side reverse scan replacing the host loop at
+    ``/root/reference/src/Filtering.py:40-55``.
+    """
+    final_index = jnp.asarray(final_index, dtype=jnp.int32)
+
+    def backward(idx, ancestors_t):
+        prev = ancestors_t[idx].astype(jnp.int32)
+        return prev, prev
+
+    _, indices = jax.lax.scan(backward, final_index, ancestry, reverse=True)
+    indices = jnp.concatenate([indices, final_index[None]])
+
+    def gather(trace):
+        return jax.vmap(lambda row, i: row[i])(trace, indices)
+
+    return jax.tree_util.tree_map(gather, particles), indices

@@ -1,0 +1,20 @@
+"""Test configuration: 8 virtual CPU devices (TPU-mesh simulation) + x64.
+
+Sharding tests exercise the multi-chip code paths on a simulated mesh via
+``--xla_force_host_platform_device_count`` — the standard way to validate a
+TPU mesh program without a real slice. Numerics tests validate the f32 TPU
+defaults against f64 ground truth, so x64 is enabled for the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
