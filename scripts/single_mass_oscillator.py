@@ -1,0 +1,111 @@
+"""Single-mass-oscillator experiment: online APF + offline PGAS.
+
+Produces ``plots/SingleMassOscillator.mat`` with the same keys as
+``/root/reference/SingleMassOscillator_Simulation.py:94-125`` so the
+reference's figure script consumes it unchanged.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time as timelib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bipk_tpu.algorithms import build_apf, build_gibbs
+from bipk_tpu.models import oscillator as smo
+from bipk_tpu.utils import matio
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--particles", type=int, default=200)
+    p.add_argument("--gibbs-iters", type=int, default=800)
+    p.add_argument("--t-end", type=float, default=15.0)
+    p.add_argument("--quick", action="store_true", help="tiny smoke config")
+    p.add_argument("--f64", action="store_true")
+    p.add_argument("--out", default="plots/SingleMassOscillator.mat")
+    args = p.parse_args()
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.quick:
+        args.particles, args.gibbs_iters, args.t_end = 50, 20, 2.0
+
+    cfg = smo.OscillatorConfig(
+        n_particles=args.particles,
+        n_gibbs=args.gibbs_iters,
+        t_end=args.t_end,
+    )
+    model = smo.make_model(cfg)
+    key = jax.random.key(cfg.seed)
+
+    key, key_sim = jax.random.split(key)
+    X, Y, F_sd, inputs = smo.simulate(key_sim, cfg, dtype=dtype)
+    time = np.arange(0.0, cfg.t_end, cfg.dt)
+
+    print("=== Online Algorithm ===")
+    apf = jax.jit(
+        build_apf(
+            model.ssm, (model.gp,), cfg.n_particles,
+            cfg.forgetting_factor, dtype=dtype,
+        )
+    )
+    key, key_apf = jax.random.split(key)
+    t0 = timelib.perf_counter()
+    online = jax.block_until_ready(apf(key_apf, Y, inputs, model.x0, model.p0))
+    print(f"online sweep: {timelib.perf_counter() - t0:.2f}s")
+
+    print("=== Offline Algorithm ===")
+    key, key_ref, key_traj = jax.random.split(key, 3)
+    ref_run = apf(key_ref, Y, inputs, model.x0, model.p0)
+    ref_state, ref_iv = matio.sample_reference_trajectory(key_traj, ref_run)
+
+    gibbs = jax.jit(
+        build_gibbs(
+            model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs, dtype=dtype
+        )
+    )
+    t0 = timelib.perf_counter()
+    offline = jax.block_until_ready(
+        gibbs(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    )
+    print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
+
+    # plotting grids (parity: SingleMassOscillator_Simulation.py:80-91)
+    x_plt = np.linspace(-3.5, 3.5, 50)
+    dx_plt = np.linspace(-3.5, 3.5, 50)
+    grid_x, grid_y = np.meshgrid(x_plt, dx_plt, indexing="xy")
+    X_plot = np.vstack([grid_x.flatten(), grid_y.flatten()]).T
+    basis_plot = jax.vmap(model.basis.eigen_fn)(jnp.asarray(X_plot))
+    F_sd_true_plot = np.asarray(
+        jax.vmap(smo.spring_force)(jnp.asarray(X_plot[:, 0]))
+        + jax.vmap(smo.damper_force)(jnp.asarray(X_plot[:, 1]))
+    )
+
+    mdict = {
+        **matio.offline_entries("offline", offline),
+        "offline_Sigma_F": offline.int_vars[0],
+        **matio.online_entries("online", online),
+        "online_Sigma_F": online.int_vars[0],
+        **matio.prior_entries(model.gp.prior),
+        "time": time,
+        "X_plot": X_plot,
+        "basis_plot": basis_plot,
+        "F_sd_true_plot": F_sd_true_plot,
+        "X": X,
+        "Y": np.asarray(Y)[:, 0],
+        "F_sd": np.asarray(F_sd)[:, 0],
+    }
+    matio.save_mat(args.out, mdict)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

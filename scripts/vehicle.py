@@ -1,0 +1,122 @@
+"""Vehicle experiment: front/rear tire-friction identification.
+
+Produces ``plots/Vehicle.mat`` with the same keys as
+``/root/reference/VehicleSimulation_Simulation.py:105-155``.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time as timelib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bipk_tpu.algorithms import build_apf, build_gibbs
+from bipk_tpu.models import vehicle as veh
+from bipk_tpu.utils import matio
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--particles", type=int, default=200)
+    p.add_argument("--gibbs-iters", type=int, default=800)
+    p.add_argument("--t-end", type=float, default=30.0)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--f64", action="store_true")
+    p.add_argument("--out", default="plots/Vehicle.mat")
+    args = p.parse_args()
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.quick:
+        args.particles, args.gibbs_iters, args.t_end = 50, 20, 2.0
+
+    cfg = veh.VehicleConfig(
+        n_particles=args.particles,
+        n_gibbs=args.gibbs_iters,
+        t_end=args.t_end,
+    )
+    model = veh.make_model(cfg)
+    key = jax.random.key(cfg.seed)
+
+    key, key_sim = jax.random.split(key)
+    X, Y, mu_f, mu_r, inputs = veh.simulate(key_sim, cfg, dtype=dtype)
+    time = np.arange(0.0, cfg.t_end, cfg.dt)
+
+    side_slip_all = jax.vmap(
+        jax.vmap(veh.side_slip, in_axes=(0, None)), in_axes=(0, 0)
+    )
+
+    print("=== Online Algorithm ===")
+    apf = jax.jit(
+        build_apf(
+            model.ssm, model.gps, cfg.n_particles,
+            cfg.forgetting_factor, dtype=dtype,
+        )
+    )
+    key, key_apf = jax.random.split(key)
+    t0 = timelib.perf_counter()
+    online = jax.block_until_ready(apf(key_apf, Y, inputs, model.x0, model.p0))
+    print(f"online sweep: {timelib.perf_counter() - t0:.2f}s")
+    online_alpha_f, online_alpha_r = side_slip_all(online.states, inputs)
+
+    print("=== Offline Algorithm ===")
+    key, key_ref, key_traj = jax.random.split(key, 3)
+    ref_run = apf(key_ref, Y, inputs, model.x0, model.p0)
+    ref_state, ref_iv = matio.sample_reference_trajectory(key_traj, ref_run)
+
+    gibbs = jax.jit(
+        build_gibbs(
+            model.ssm, model.gps, cfg.n_particles, cfg.n_gibbs, dtype=dtype
+        )
+    )
+    t0 = timelib.perf_counter()
+    offline = jax.block_until_ready(
+        gibbs(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    )
+    print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
+    offline_alpha_f, offline_alpha_r = side_slip_all(offline.states, inputs)
+
+    # plotting grids (parity: VehicleSimulation_Simulation.py:99-102)
+    alpha_plot = np.linspace(-20 / 180 * np.pi, 20 / 180 * np.pi, 500)
+    mu_true_plot = np.asarray(jax.vmap(veh.mu_y_true)(jnp.asarray(alpha_plot)))
+    basis_plot = np.asarray(
+        jax.vmap(lambda a: model.basis.eigen_fn(a))(jnp.asarray(alpha_plot))
+    )
+
+    mdict = {
+        **matio.offline_entries("offline", offline, gp_index=0, suffix="_f"),
+        **matio.offline_entries("offline", offline, gp_index=1, suffix="_r"),
+        "offline_Sigma_mu_f": offline.int_vars[0],
+        "offline_Sigma_mu_r": offline.int_vars[1],
+        "offline_Sigma_alpha_f": offline_alpha_f,
+        "offline_Sigma_alpha_r": offline_alpha_r,
+        **matio.online_entries("online", online, gp_index=0, suffix="_f"),
+        **matio.online_entries("online", online, gp_index=1, suffix="_r"),
+        "online_Sigma_mu_f": online.int_vars[0],
+        "online_Sigma_mu_r": online.int_vars[1],
+        "online_Sigma_alpha_f": online_alpha_f,
+        "online_Sigma_alpha_r": online_alpha_r,
+        **matio.prior_entries(model.gps[0].prior, suffix="_f"),
+        **matio.prior_entries(model.gps[1].prior, suffix="_r"),
+        "time": time,
+        "alpha_plot": alpha_plot,
+        "basis_plot": basis_plot,
+        "mu_true_plot": mu_true_plot,
+        "X": X,
+        "Y": Y,
+        "mu_f": mu_f,
+        "mu_r": mu_r,
+    }
+    matio.save_mat(args.out, mdict)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

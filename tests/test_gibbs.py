@@ -1,0 +1,125 @@
+"""Tests of Algorithms 2+3 (marginalized PGAS) on the toy example."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bipk_tpu.algorithms import build_apf, build_csmc, build_gibbs
+from bipk_tpu.algorithms.gibbs import summed_reference_stats
+from bipk_tpu.models import toy
+from bipk_tpu.ops import mniw
+from bipk_tpu.utils.matio import sample_reference_trajectory
+
+N_PARTICLES = 60
+N_STEPS = 35
+N_ITER = 40
+
+
+@pytest.fixture(scope="module")
+def toy_gibbs():
+    cfg = toy.ToyConfig(n_particles=N_PARTICLES, n_steps=N_STEPS)
+    model = toy.make_model(cfg)
+    key = jax.random.key(cfg.seed)
+    key, key_sim = jax.random.split(key)
+    X, Y = toy.simulate(key_sim, cfg, dtype=jnp.float64)
+    inputs = jnp.zeros((cfg.n_steps, 0))
+
+    apf = jax.jit(
+        build_apf(model.ssm, (model.gp,), N_PARTICLES, 1.0, dtype=jnp.float64)
+    )
+    key, key_apf, key_traj = jax.random.split(key, 3)
+    res1 = apf(key_apf, Y, inputs, model.x0, model.p0)
+    ref_state, ref_iv = sample_reference_trajectory(key_traj, res1)
+
+    gibbs = jax.jit(
+        build_gibbs(
+            model.ssm, (model.gp,), N_PARTICLES, N_ITER, dtype=jnp.float64
+        )
+    )
+    key, key_g = jax.random.split(key)
+    res2 = gibbs(key_g, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    return cfg, model, X, Y, inputs, ref_state, ref_iv, res2
+
+
+def test_shapes(toy_gibbs):
+    cfg, model, X, Y, inputs, ref_state, ref_iv, res = toy_gibbs
+    assert res.states.shape == (N_STEPS, N_ITER, 1)
+    assert res.int_vars[0].shape == (N_STEPS, N_ITER, 1)
+    assert res.weights.shape == (N_STEPS, N_ITER)
+    assert res.stats[0].T1.shape == (N_ITER, cfg.n_basis, cfg.n_basis)
+    assert res.outputs.shape == (N_STEPS, N_ITER, 1)
+    np.testing.assert_allclose(np.asarray(res.weights), 1.0 / N_ITER)
+
+
+def test_first_iteration_is_reference(toy_gibbs):
+    cfg, model, X, Y, inputs, ref_state, ref_iv, res = toy_gibbs
+    np.testing.assert_allclose(
+        np.asarray(res.states[:, 0, :]), np.asarray(ref_state), rtol=1e-9
+    )
+
+
+def test_iterations_mix(toy_gibbs):
+    """Successive Gibbs draws differ (the chain moves)."""
+    cfg, model, X, Y, inputs, ref_state, ref_iv, res = toy_gibbs
+    diffs = np.abs(np.diff(np.asarray(res.states[:, :, 0]), axis=1)).mean(0)
+    assert np.all(diffs > 1e-3), diffs.min()
+
+
+def test_posterior_function_recovery(toy_gibbs):
+    """Averaged sufficient statistics over the second half of the chain
+    recover the true sub-function within the data range."""
+    cfg, model, X, Y, inputs, ref_state, ref_iv, res = toy_gibbs
+    half = N_ITER // 2
+    stats_avg = jax.tree_util.tree_map(
+        lambda s: jnp.mean(s[half:], axis=0), res.stats[0]
+    )
+    post = jax.tree_util.tree_map(
+        lambda p, s: p + s, model.gp.prior_as(jnp.float64), stats_avg
+    )
+    A = mniw.posterior_mean(post)
+    lo, hi = float(X.min()), float(X.max())
+    xs = jnp.linspace(lo, hi, 101)
+    phis = jax.vmap(model.basis.eigen_fn)(xs[:, None])
+    rmse = float(jnp.sqrt(jnp.mean((phis @ A[0] - toy.f_true(xs)) ** 2)))
+    assert rmse < 3.0, rmse
+
+
+def test_posterior_state_tracking(toy_gibbs):
+    cfg, model, X, Y, inputs, ref_state, ref_iv, res = toy_gibbs
+    half = N_ITER // 2
+    post_mean = np.asarray(res.states[:, half:, 0]).mean(axis=1)
+    rmse = np.sqrt(np.mean((post_mean[5:] - np.asarray(X)[5:, 0]) ** 2))
+    assert rmse < 2.5, rmse
+
+
+def test_csmc_pins_reference(toy_gibbs):
+    """A cSMC sweep with a degenerate (single-particle-dominant) setup
+    returns trajectories consistent with pinning: the reference trajectory
+    must be reproducible when it dominates the weights."""
+    cfg, model, X, Y, inputs, ref_state, ref_iv, res = toy_gibbs
+    csmc = jax.jit(
+        build_csmc(model.ssm, (model.gp,), N_PARTICLES, dtype=jnp.float64)
+    )
+    ref_stats = summed_reference_stats(
+        (model.gp,),
+        jnp.asarray(ref_state),
+        tuple(jnp.asarray(v) for v in ref_iv),
+        inputs,
+        jnp.float64,
+    )
+    out = csmc(
+        jax.random.key(99),
+        Y,
+        inputs,
+        model.x0,
+        model.p0,
+        ref_state,
+        ref_iv,
+        ref_stats,
+    )
+    assert out.state_traj.shape == (N_STEPS, 1)
+    assert np.all(np.isfinite(np.asarray(out.state_traj)))
+    assert np.all(np.isfinite(np.asarray(out.log_weights)))
+    # ESS should stay healthy in the conditional sweep too
+    assert float(out.ess.mean()) > 0.2 * N_PARTICLES

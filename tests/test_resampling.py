@@ -1,0 +1,89 @@
+"""Unit tests for resampling + ancestry (bipk_tpu.ops.resampling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bipk_tpu.ops import resampling
+
+
+def test_systematic_unbiased_counts():
+    """Offspring counts of systematic resampling are within 1 of N*w."""
+    w = jnp.asarray([0.1, 0.4, 0.05, 0.25, 0.2])
+    n = w.shape[0]
+    for seed in range(20):
+        idx = resampling.systematic(jax.random.key(seed), w)
+        counts = np.bincount(np.asarray(idx), minlength=n)
+        np.testing.assert_array_less(np.abs(counts - n * np.asarray(w)), 1.0 + 1e-9)
+
+
+def test_systematic_zero_weights_uniform_fallback():
+    idx = resampling.systematic(jax.random.key(0), jnp.zeros(8))
+    assert idx.shape == (8,)
+    assert np.all(np.asarray(idx) >= 0) and np.all(np.asarray(idx) < 8)
+
+
+def test_systematic_degenerate_single_weight():
+    w = jnp.zeros(16).at[5].set(1.0)
+    idx = resampling.systematic(jax.random.key(1), w)
+    np.testing.assert_array_equal(np.asarray(idx), 5)
+
+
+def test_categorical_distribution():
+    w = jnp.asarray([0.2, 0.5, 0.3])
+    keys = jax.random.split(jax.random.key(2), 20_000)
+    draws = jax.vmap(lambda k: resampling.categorical_from_weights(k, w))(keys)
+    freq = np.bincount(np.asarray(draws), minlength=3) / 20_000
+    np.testing.assert_allclose(freq, np.asarray(w), atol=0.02)
+
+
+def test_ess_bounds():
+    n = 64
+    uniform = jnp.zeros(n)
+    np.testing.assert_allclose(
+        float(resampling.effective_sample_size(uniform)), n, rtol=1e-6
+    )
+    degenerate = jnp.full((n,), -1e6).at[0].set(0.0)
+    np.testing.assert_allclose(
+        float(resampling.effective_sample_size(degenerate)), 1.0, rtol=1e-3
+    )
+
+
+def _host_reconstruct(particles, ancestry, idx):
+    """Straightforward host-side reference implementation."""
+    T = particles.shape[0]
+    traj = np.zeros((T,) + particles.shape[2:])
+    cur = int(idx)
+    traj[-1] = particles[-1, cur]
+    for t in range(T - 2, -1, -1):
+        cur = int(ancestry[t, cur])
+        traj[t] = particles[t, cur]
+    return traj
+
+
+def test_reconstruct_trajectory_matches_host():
+    rng = np.random.default_rng(0)
+    T, N, d = 12, 7, 3
+    particles = rng.standard_normal((T, N, d))
+    ancestry = rng.integers(0, N, size=(T - 1, N))
+    idx = 4
+    (got,), _ = resampling.reconstruct_trajectory(
+        (jnp.asarray(particles),), jnp.asarray(ancestry), idx
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), _host_reconstruct(particles, ancestry, idx)
+    )
+
+
+def test_reconstruct_trajectory_pytree():
+    rng = np.random.default_rng(1)
+    T, N = 6, 4
+    a = rng.standard_normal((T, N, 2))
+    b = rng.standard_normal((T, N, 1))
+    ancestry = rng.integers(0, N, size=(T - 1, N))
+    (got_a, (got_b,)), indices = resampling.reconstruct_trajectory(
+        (jnp.asarray(a), (jnp.asarray(b),)), jnp.asarray(ancestry), 2
+    )
+    np.testing.assert_allclose(np.asarray(got_a), _host_reconstruct(a, ancestry, 2))
+    np.testing.assert_allclose(np.asarray(got_b), _host_reconstruct(b, ancestry, 2))
+    assert indices.shape == (T,)
