@@ -1,0 +1,92 @@
+"""Ablation harness: which part of the APF step dominates at scale.
+
+Builds sweep variants with individual components stubbed out and times one
+200-step vehicle sweep each on the current backend.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from bipk_tpu.models import vehicle as veh
+from bipk_tpu.algorithms import apf
+from bipk_tpu.ops import mniw, resampling
+
+N = int(os.environ.get("ABLATE_N", 32768))
+
+
+def main():
+    cfg = veh.VehicleConfig(t_end=4.0)
+    model = veh.make_model(cfg)
+    key = jax.random.key(0)
+    key, ks = jax.random.split(key)
+    _, Y, _, _, inputs = veh.simulate(ks, cfg, dtype=jnp.float32)
+    T = Y.shape[0]
+    x0 = jnp.asarray(model.x0, jnp.float32)
+    p0 = jnp.asarray(model.p0, jnp.float32)
+
+    def run_variant(name, patches):
+        saved = {}
+        for (mod, attr), repl in patches.items():
+            saved[(mod, attr)] = getattr(mod, attr)
+            setattr(mod, attr, repl)
+        try:
+            run = jax.jit(apf.build_apf(model.ssm, model.gps, N, 0.999, dtype=jnp.float32))
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
+            ct = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
+            rt = time.perf_counter() - t0
+            print(
+                f"{name}: compile {ct:.0f}s run {rt:.2f}s "
+                f"({rt/(T-1)*1e3:.2f} ms/step, {N*(T-1)/rt/1e3:.0f}k psps)",
+                flush=True,
+            )
+        finally:
+            for k, v in saved.items():
+                setattr(k[0], k[1], v)
+
+    run_variant("full", {})
+
+    # t-draw -> plain normal draw
+    def normal_pred(key, factor, phi):
+        n = factor.row_scale.shape[0]
+        v = jax.scipy.linalg.solve_triangular  # noqa: placeholder unused
+        import bipk_tpu.ops.batched_linalg as bla
+
+        vv = bla.solve_lower_bl(factor.chol, phi)
+        mean = jnp.stack(
+            [jnp.sum(factor.white_T0[:, i] * vv, axis=0) for i in range(n)]
+        )
+        z = jax.random.normal(key, mean.shape, phi.dtype)
+        return mean + z
+
+    run_variant("no-t-draw", {(mniw, "sample_predictive_bl"): normal_pred})
+
+    # no systematic resampling (identity ancestors)
+    def identity_resample(key, w):
+        return jnp.arange(w.shape[-1], dtype=jnp.int32)
+
+    run_variant("no-resample", {(resampling, "systematic"): identity_resample})
+
+    # no factorization (identity factor)
+    real_factorize = mniw.factorize_bl
+
+    def cheap_factorize(nat, jitter=None):
+        m = nat.T1.shape[0]
+        eye = jnp.broadcast_to(
+            jnp.eye(m, dtype=nat.T1.dtype)[:, :, None], nat.T1.shape
+        )
+        return mniw.MNIWFactor(eye, nat.T0, nat.T2, nat.T3)
+
+    run_variant("no-factorize", {(mniw, "factorize_bl"): cheap_factorize})
+
+
+if __name__ == "__main__":
+    main()

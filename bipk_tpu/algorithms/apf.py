@@ -15,9 +15,14 @@ Architectural deltas (TPU-first):
   gathered through resampling, serving both the auxiliary posterior mean and
   the post-resample matrix-t predictive (the reference factors twice:
   ``Algorithm1.py:212`` and ``:252``);
+- all per-particle tensors live **batch-last** (``(m, m, N)`` etc.) so the
+  particle batch fills TPU lanes and the unrolled small-matrix factorizations
+  in ``ops.batched_linalg`` fuse into single VPU kernels;
+- RNG draws are batched over the population (one Student-t / normal call per
+  step) instead of per-particle key splits;
 - traces accumulate on device; the weighted sufficient-statistics reduction
   the reference performs on host per step (``Algorithm1.py:446-457``) is an
-  in-scan ``einsum``.
+  in-scan contraction.
 """
 
 from __future__ import annotations
@@ -28,8 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from bipk_tpu.models.ssm import GPNode, SSM
+from bipk_tpu.ops import batched_linalg as bla
 from bipk_tpu.ops import mniw, resampling
-from bipk_tpu.ops.gaussian import mvn_logpdf_chol
 
 
 class APFResult(NamedTuple):
@@ -51,198 +56,164 @@ def _as_tuple(x) -> tuple:
     return tuple(x) if isinstance(x, (tuple, list)) else (x,)
 
 
-def init_particles(
-    key,
-    ssm: SSM,
-    gps: Sequence[GPNode],
-    n_particles: int,
-    inputs0,
-    init_state_mean,
-    init_state_cov,
-    dtype,
-):
-    """Draw initial state/interface-variable particles and their statistics.
+class APFKernel:
+    """Shared batch-last building blocks for APF-family sweeps.
 
-    Parity with ``Algorithm1._init_algorithm``
-    (``/root/reference/src/Algorithm1.py:100-177``).
+    Everything is closed over statically (model callables, noise Choleskys,
+    priors); methods take/return batch-last tensors: ``state (dx, N)``,
+    ``int_vars`` tuple of ``(n_i, N)``, ``stats`` tuple of batch-last MNIW.
     """
-    key, key_state = jax.random.split(key)
-    mean = jnp.asarray(init_state_mean, dtype=dtype)
-    cov = jnp.asarray(init_state_cov, dtype=dtype)
-    state = jax.random.multivariate_normal(
-        key_state, mean, cov, (n_particles,), dtype=dtype
-    )
 
-    int_vars = []
-    for gp in gps:
-        key, key_iv = jax.random.split(key)
-        iv = jax.random.multivariate_normal(
-            key_iv,
-            jnp.asarray(jnp.atleast_1d(gp.init_mean), dtype=dtype),
-            jnp.asarray(jnp.atleast_2d(gp.init_cov), dtype=dtype),
-            (n_particles,),
-            dtype=dtype,
+    def __init__(self, ssm: SSM, gps: Sequence[GPNode], dtype):
+        self.ssm = ssm
+        self.gps = _as_tuple(gps)
+        self.n_gp = len(self.gps)
+        self.dtype = dtype
+        self.priors = tuple(gp.prior_as(dtype) for gp in self.gps)
+        # batch-last broadcastable priors
+        self.priors_bl = tuple(
+            mniw.MNIW(p.T0[..., None], p.T1[..., None], p.T2[..., None], p.T3)
+            for p in self.priors
         )
-        int_vars.append(iv)
-    int_vars = tuple(int_vars)
-
-    stats = tuple(
-        jax.vmap(mniw.suff_stat)(
-            int_vars[i],
-            jax.vmap(lambda x: gps[i].basis_fn(x, inputs0))(state),
+        self.process_chol = (
+            None if ssm.is_deterministic else ssm.process_chol(dtype)
         )
-        for i in range(len(gps))
-    )
-    log_weights = jnp.zeros((n_particles,), dtype=dtype)
-    return log_weights, state, int_vars, stats
-
-
-def weighted_stats(stats: tuple, weights: jax.Array) -> tuple:
-    """Importance-weighted mean of per-particle statistics.
-
-    The per-step reduction the reference runs on host with ``np.einsum``
-    (``/root/reference/src/Algorithm1.py:446-457``).
-    """
-    return tuple(
-        jax.tree_util.tree_map(
-            lambda s: jnp.einsum("n...,n->...", s, weights), st
+        self.output_chol = ssm.output_chol(dtype)
+        self._out_logdet = jnp.sum(
+            jnp.log(jnp.diagonal(self.output_chol))
         )
-        for st in stats
-    )
 
+    # -- model evaluation (vmapped over the trailing particle axis) --------
 
-def make_step(
-    ssm: SSM,
-    gps: Sequence[GPNode],
-    n_particles: int,
-    forgetting_factor: float,
-    dtype,
-):
-    """Build the fused APF step ``(carry, xs) -> (carry, emits)``.
+    def transition_all(self, state, inp, int_vars):
+        return jax.vmap(
+            lambda x, *iv: self.ssm.transition(x, inp, *iv),
+            in_axes=-1,
+            out_axes=-1,
+        )(state, *int_vars)
 
-    Semantics of ``Algorithm1.step``
-    (``/root/reference/src/Algorithm1.py:298-397``) with the shared-factor
-    optimization described in the module docstring.
-    """
-    n_gp = len(gps)
-    priors = tuple(gp.prior_as(dtype) for gp in gps)
-    process_chol = None if ssm.is_deterministic else ssm.process_chol(dtype)
-    output_chol = ssm.output_chol(dtype)
+    def output_all(self, state, inp, int_vars):
+        return jax.vmap(
+            lambda x, *iv: jnp.atleast_1d(self.ssm.output(x, inp, *iv)),
+            in_axes=-1,
+            out_axes=-1,
+        )(state, *int_vars)
 
-    def log_lik(obs, state, inp, int_vars):
-        out = jnp.atleast_1d(ssm.output(state, inp, *int_vars))
-        return mvn_logpdf_chol(obs, out, output_chol)
+    def basis_all(self, i, state, inp):
+        return jax.vmap(
+            lambda x: self.gps[i].basis_fn(x, inp), in_axes=-1, out_axes=-1
+        )(state)
 
-    def propagate(key, state, inp, int_vars):
-        nxt = ssm.transition(state, inp, *int_vars)
-        if process_chol is None:
+    def log_lik_all(self, obs, state, inp, int_vars):
+        out = self.output_all(state, inp, int_vars)  # (dy, N)
+        resid = out - obs[:, None]
+        white = bla.solve_lower_bl(self.output_chol, resid)
+        dy = white.shape[0]
+        quad = jnp.sum(white * white, axis=0)
+        return (
+            -0.5 * (dy * jnp.log(2.0 * jnp.asarray(jnp.pi, self.dtype)) + quad)
+            - self._out_logdet
+        )
+
+    def propagate_all(self, key, state, inp, int_vars):
+        nxt = self.transition_all(state, inp, int_vars)
+        if self.process_chol is None:
             return nxt
-        z = jax.random.normal(key, nxt.shape, dtype=dtype)
-        return nxt + process_chol @ z
+        z = jax.random.normal(key, nxt.shape, self.dtype)
+        return nxt + jnp.tensordot(self.process_chol, z, axes=1)
 
-    def step(carry, xs):
-        log_weights, state, int_vars, stats = carry
-        obs, inp_prev, inp_cur, key = xs
+    # -- init ----------------------------------------------------------------
 
-        # --- statistics time update (exponential forgetting) ---
-        stats = tuple(st.scale(forgetting_factor) for st in stats)
+    def init_particles(self, key, n_particles, inputs0, init_mean, init_cov):
+        """Initial particles/statistics, batch-last.
 
-        # --- factor prior + stats once; reuse across aux mean + predictive
-        factors = tuple(
-            jax.vmap(mniw.factorize)(
+        Parity with ``Algorithm1._init_algorithm``
+        (``/root/reference/src/Algorithm1.py:100-177``).
+        """
+        key, key_state = jax.random.split(key)
+        mean = jnp.asarray(init_mean, dtype=self.dtype)
+        chol = bla.chol_lower(
+            jnp.asarray(jnp.atleast_2d(init_cov), dtype=self.dtype)
+        )
+        z = jax.random.normal(key_state, (mean.shape[0], n_particles), self.dtype)
+        state = mean[:, None] + chol @ z
+
+        int_vars = []
+        for gp in self.gps:
+            key, key_iv = jax.random.split(key)
+            gmean = jnp.asarray(jnp.atleast_1d(gp.init_mean), dtype=self.dtype)
+            gchol = gp.init_chol(self.dtype)
+            z = jax.random.normal(
+                key_iv, (gmean.shape[0], n_particles), self.dtype
+            )
+            int_vars.append(gmean[:, None] + gchol @ z)
+        int_vars = tuple(int_vars)
+
+        stats = tuple(
+            mniw.suff_stat_bl(
+                int_vars[i], self.basis_all(i, state, inputs0)
+            )
+            for i in range(self.n_gp)
+        )
+        log_weights = jnp.zeros((n_particles,), dtype=self.dtype)
+        return log_weights, state, int_vars, stats
+
+    # -- per-step pieces -------------------------------------------------------
+
+    def factorize_all(self, stats):
+        return tuple(
+            mniw.factorize_bl(
                 jax.tree_util.tree_map(
-                    lambda p, s: p[None] + s if p.ndim == s.ndim - 1 else p + s,
-                    priors[i],
-                    stats[i],
+                    lambda p, s: p + s, self.priors_bl[i], stats[i]
                 )
             )
-            for i in range(n_gp)
+            for i in range(self.n_gp)
         )
 
-        # --- auxiliary look-ahead ---
-        aux_state = jax.vmap(
-            lambda x, *iv: ssm.transition(x, inp_prev, *iv)
-        )(state, *int_vars)
+    def auxiliary(self, state, int_vars, factors, inp_prev, inp_cur, obs, log_weights):
+        """Look-ahead states + first-stage weights."""
+        aux_state = self.transition_all(state, inp_prev, int_vars)
         aux_iv = tuple(
-            jax.vmap(
-                lambda f, x: mniw.factor_mean_at(
-                    f, gps[i].basis_fn(x, inp_cur)
-                )
-            )(factors[i], aux_state)
-            for i in range(n_gp)
+            mniw.factor_mean_at_bl(
+                factors[i], self.basis_all(i, aux_state, inp_cur)
+            )
+            for i in range(self.n_gp)
         )
-        ll_aux = jax.vmap(
-            lambda x, *iv: log_lik(obs, x, inp_cur, iv)
-        )(aux_state, *aux_iv)
-        lw_aux = ll_aux + log_weights
+        ll_aux = self.log_lik_all(obs, aux_state, inp_cur, aux_iv)
+        return aux_state, aux_iv, ll_aux + log_weights, ll_aux
 
-        # --- first-stage (auxiliary) resampling ---
-        key, key_res = jax.random.split(key)
-        ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
-
-        # --- propagate resampled states ---
-        key, key_state = jax.random.split(key)
-        iv_gathered = tuple(iv[ancestors] for iv in int_vars)
-        new_state = jax.vmap(
-            lambda k, x, *iv: propagate(k, x, inp_prev, iv)
-        )(
-            jax.random.split(key_state, n_particles),
-            state[ancestors],
-            *iv_gathered,
-        )
-
-        # --- matrix-t predictive draw of the interface variables ---
-        key, key_iv = jax.random.split(key)
-        keys_gp = jax.random.split(key_iv, n_gp)
-        factors_res = tuple(
-            jax.tree_util.tree_map(lambda a: a[ancestors], f) for f in factors
-        )
+    def draw_int_vars(self, key, factors_res, new_state, inp_cur):
+        keys = jax.random.split(key, self.n_gp)
         new_basis = tuple(
-            jax.vmap(lambda x: gps[i].basis_fn(x, inp_cur))(new_state)
-            for i in range(n_gp)
+            self.basis_all(i, new_state, inp_cur) for i in range(self.n_gp)
         )
         new_iv = tuple(
-            jax.vmap(
-                lambda k, f, phi: mniw.sample_predictive(
-                    k, mniw.factor_predictive(f, phi)
-                )
-            )(
-                jax.random.split(keys_gp[i], n_particles),
-                factors_res[i],
-                new_basis[i],
+            mniw.sample_predictive_bl(keys[i], factors_res[i], new_basis[i])
+            for i in range(self.n_gp)
+        )
+        return new_iv, new_basis
+
+    def update_stats(self, stats_res, new_iv, new_basis):
+        return tuple(
+            stats_res[i] + mniw.suff_stat_bl(new_iv[i], new_basis[i])
+            for i in range(self.n_gp)
+        )
+
+    @staticmethod
+    def gather(tree, idx):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=-1), tree
+        )
+
+    def weighted_stats(self, stats, weights):
+        """Importance-weighted mean of per-particle statistics (host-side
+        per-step einsum in the reference, ``Algorithm1.py:446-457``)."""
+        return tuple(
+            jax.tree_util.tree_map(
+                lambda s: jnp.tensordot(s, weights, axes=(-1, 0)), st
             )
-            for i in range(n_gp)
+            for st in stats
         )
-
-        # --- rank-1 statistics measurement update ---
-        stats_gathered = tuple(
-            jax.tree_util.tree_map(lambda a: a[ancestors], st) for st in stats
-        )
-        new_stats = tuple(
-            stats_gathered[i]
-            + jax.vmap(mniw.suff_stat)(new_iv[i], new_basis[i])
-            for i in range(n_gp)
-        )
-
-        # --- second-stage weights ---
-        ll_new = jax.vmap(
-            lambda x, *iv: log_lik(obs, x, inp_cur, iv)
-        )(new_state, *new_iv)
-        new_log_weights = ll_new - ll_aux[ancestors]
-
-        new_carry = (new_log_weights, new_state, new_iv, new_stats)
-        norm_w = jax.nn.softmax(new_log_weights)
-        emits = (
-            new_state,
-            new_iv,
-            new_log_weights,
-            ancestors,
-            weighted_stats(new_stats, norm_w),
-            1.0 / jnp.sum(norm_w * norm_w),
-        )
-        return new_carry, emits
-
-    return step
 
 
 def build_apf(
@@ -258,73 +229,112 @@ def build_apf(
     init_state_cov) -> APFResult``. Shapes: ``observations (T, dy)``,
     ``inputs (T, du)`` (``du`` may be 0).
     """
-    gps = _as_tuple(gps)
-    n_gp = len(gps)
-    step = make_step(ssm, gps, n_particles, forgetting_factor, dtype)
+    kern = APFKernel(ssm, gps, dtype)
+    n_gp = kern.n_gp
+
+    def step(carry, xs):
+        log_weights, state, int_vars, stats = carry
+        obs, inp_prev, inp_cur, key = xs
+
+        # statistics time update (exponential forgetting)
+        stats = tuple(st.scale(forgetting_factor) for st in stats)
+        factors = kern.factorize_all(stats)
+
+        aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
+            state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
+        )
+
+        key, key_res = jax.random.split(key)
+        ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
+
+        key, key_state = jax.random.split(key)
+        new_state = kern.propagate_all(
+            key_state,
+            kern.gather(state, ancestors),
+            inp_prev,
+            kern.gather(int_vars, ancestors),
+        )
+
+        key, key_iv = jax.random.split(key)
+        factors_res = kern.gather(factors, ancestors)
+        new_iv, new_basis = kern.draw_int_vars(
+            key_iv, factors_res, new_state, inp_cur
+        )
+        new_stats = kern.update_stats(
+            kern.gather(stats, ancestors), new_iv, new_basis
+        )
+
+        ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
+        new_log_weights = ll_new - ll_aux[ancestors]
+
+        norm_w = jax.nn.softmax(new_log_weights)
+        emits = (
+            new_state.T,
+            tuple(iv.T for iv in new_iv),
+            new_log_weights,
+            ancestors,
+            kern.weighted_stats(new_stats, norm_w),
+            1.0 / jnp.sum(norm_w * norm_w),
+        )
+        return (new_log_weights, new_state, new_iv, new_stats), emits
 
     def run(key, observations, inputs, init_state_mean, init_state_cov):
-        observations = jnp.asarray(observations, dtype=dtype)
+        observations = jnp.atleast_2d(
+            jnp.asarray(observations, dtype=dtype).T
+        ).T
         inputs = jnp.asarray(inputs, dtype=dtype)
         n_steps = observations.shape[0]
 
         key, key_init = jax.random.split(key)
-        log_w0, state0, iv0, stats0 = init_particles(
-            key_init,
-            ssm,
-            gps,
-            n_particles,
-            inputs[0],
-            init_state_mean,
-            init_state_cov,
-            dtype,
+        log_w0, state0, iv0, stats0 = kern.init_particles(
+            key_init, n_particles, inputs[0], init_state_mean, init_state_cov
         )
 
         keys = jax.random.split(key, n_steps - 1)
         xs = (observations[1:], inputs[:-1], inputs[1:], keys)
         carry0 = (log_w0, state0, iv0, stats0)
         carry, emits = jax.lax.scan(step, carry0, xs)
-        (
-            state_tr,
-            iv_tr,
-            log_w_tr,
-            ancestors,
-            stats_mean_tr,
-            ess_tr,
-        ) = emits
-        _, _, _, final_stats = carry
+        state_tr, iv_tr, log_w_tr, ancestors, stats_mean_tr, ess_tr = emits
+        final_stats_bl = carry[3]
 
-        # prepend t=0 entries
-        states = jnp.concatenate([state0[None], state_tr])
+        states = jnp.concatenate([state0.T[None], state_tr])
         int_vars = tuple(
-            jnp.concatenate([iv0[i][None], iv_tr[i]]) for i in range(n_gp)
+            jnp.concatenate([iv0[i].T[None], iv_tr[i]]) for i in range(n_gp)
         )
         log_weights = jnp.concatenate([log_w0[None], log_w_tr])
         w0 = jax.nn.softmax(log_w0)
         stats_mean = tuple(
             jax.tree_util.tree_map(
                 lambda first, rest: jnp.concatenate([first[None], rest]),
-                weighted_stats((stats0[i],), w0)[0],
+                kern.weighted_stats((stats0[i],), w0)[0],
                 stats_mean_tr[i],
             )
             for i in range(n_gp)
         )
-        ess = jnp.concatenate(
-            [(1.0 / jnp.sum(w0 * w0))[None], ess_tr]
-        )
+        ess = jnp.concatenate([(1.0 / jnp.sum(w0 * w0))[None], ess_tr])
         weights = jax.nn.softmax(log_weights, axis=1)
+        final_stats = tuple(
+            mniw.from_batch_last(st) for st in final_stats_bl
+        )
 
         # final vmapped output / log-likelihood evaluation over all traces
         # (parity: /root/reference/src/Algorithm1.py:462-481)
-        output_chol = ssm.output_chol(dtype)
+        def out_and_ll(obs, x_t, inp, ivs_t):
+            out = kern.output_all(x_t.T, inp, tuple(v.T for v in ivs_t))
+            resid = out - obs[:, None]
+            white = bla.solve_lower_bl(kern.output_chol, resid)
+            dy = white.shape[0]
+            ll = (
+                -0.5
+                * (dy * jnp.log(2.0 * jnp.asarray(jnp.pi, dtype))
+                   + jnp.sum(white * white, axis=0))
+                - kern._out_logdet
+            )
+            return out.T, ll
 
-        def out_and_ll(obs, x, inp, ivs):
-            out = jnp.atleast_1d(ssm.output(x, inp, *ivs))
-            return out, mvn_logpdf_chol(obs, out, output_chol)
-
-        outputs, log_lik = jax.vmap(
-            jax.vmap(out_and_ll, in_axes=(None, 0, None, 0)),
-            in_axes=(0, 0, 0, 0),
-        )(observations, states, inputs, int_vars)
+        outputs, log_lik = jax.vmap(out_and_ll)(
+            observations, states, inputs, int_vars
+        )
 
         return APFResult(
             states=states,
@@ -339,3 +349,39 @@ def build_apf(
         )
 
     return run
+
+
+# -- batch-first helpers kept for reference-style baselines/tests -----------
+
+
+def init_particles(
+    key,
+    ssm: SSM,
+    gps: Sequence[GPNode],
+    n_particles: int,
+    inputs0,
+    init_state_mean,
+    init_state_cov,
+    dtype,
+):
+    """Batch-first initial particles (used by the CPU baseline harness)."""
+    kern = APFKernel(ssm, gps, dtype)
+    log_w, state, int_vars, stats = kern.init_particles(
+        key, n_particles, inputs0, init_state_mean, init_state_cov
+    )
+    return (
+        log_w,
+        state.T,
+        tuple(iv.T for iv in int_vars),
+        tuple(mniw.from_batch_last(st) for st in stats),
+    )
+
+
+def weighted_stats(stats: tuple, weights: jax.Array) -> tuple:
+    """Batch-first importance-weighted statistics mean."""
+    return tuple(
+        jax.tree_util.tree_map(
+            lambda s: jnp.einsum("n...,n->...", s, weights), st
+        )
+        for st in stats
+    )

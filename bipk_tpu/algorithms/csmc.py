@@ -7,8 +7,9 @@ base measures, and the reference's own future sufficient statistics are
 decremented step by step.
 
 Behavioral parity: ``Algorithm3`` (``/root/reference/src/Algorithm3.py``),
-with the time loop fused into one ``lax.scan`` and the backward ancestral
-reconstruction (host numpy in the reference,
+with the time loop fused into one ``lax.scan``, per-particle tensors in
+batch-last layout (see ``bipk_tpu.algorithms.apf``), and the backward
+ancestral reconstruction (host numpy in the reference,
 ``/root/reference/src/Filtering.py:40-55``) as a reverse scan on device.
 
 Deviation: for deterministic transitions (zero process noise — the toy
@@ -26,10 +27,10 @@ from typing import Callable, NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from bipk_tpu.algorithms.apf import _as_tuple, init_particles
+from bipk_tpu.algorithms.apf import APFKernel
 from bipk_tpu.models.ssm import GPNode, SSM
+from bipk_tpu.ops import batched_linalg as bla
 from bipk_tpu.ops import mniw, resampling
-from bipk_tpu.ops.gaussian import mvn_logpdf_chol
 
 
 class CSMCResult(NamedTuple):
@@ -53,25 +54,139 @@ def build_csmc(
     ``(T, n_i)`` trajectories and ``ref_summed_stats`` the tuple of summed
     MNIW statistics of the reference trajectory.
     """
-    gps = _as_tuple(gps)
-    n_gp = len(gps)
-    priors = tuple(gp.prior_as(dtype) for gp in gps)
+    kern = APFKernel(ssm, gps, dtype)
+    n_gp = kern.n_gp
     deterministic = ssm.is_deterministic
-    process_chol = None if deterministic else ssm.process_chol(dtype)
-
-    def log_lik(obs, state, inp, int_vars, output_chol):
-        out = jnp.atleast_1d(ssm.output(state, inp, *int_vars))
-        return mvn_logpdf_chol(obs, out, output_chol)
+    process_chol = kern.process_chol
+    if process_chol is not None:
+        _q_logdet = jnp.sum(jnp.log(jnp.diagonal(process_chol)))
 
     def ref_contribution(ref_state_t, ref_iv_t, inp_t):
-        """Rank-1 statistics of the reference at one time point."""
-        return tuple(
-            mniw.suff_stat(
-                jnp.atleast_1d(ref_iv_t[i]),
-                gps[i].basis_fn(ref_state_t, inp_t),
+        """Rank-1 statistics of the reference at one time point
+        (batch-last with N=1 trailing axis dropped)."""
+        out = []
+        for i in range(n_gp):
+            phi = kern.gps[i].basis_fn(ref_state_t, inp_t)
+            y = jnp.atleast_1d(ref_iv_t[i])
+            out.append(
+                mniw.MNIW(
+                    jnp.outer(phi, y),
+                    jnp.outer(phi, phi),
+                    jnp.outer(y, y),
+                    jnp.asarray(1.0, dtype=dtype),
+                )
             )
+        return tuple(out)
+
+    def step(carry, xs):
+        log_weights, state, int_vars, stats, ref_stats = carry
+        obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
+
+        factors = kern.factorize_all(stats)
+        aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
+            state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
+        )
+
+        key, key_res = jax.random.split(key)
+        ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
+
+        # --- ancestor sampling for the reference particle ---
+        # marginal-likelihood correction g_t - g_T from MNIW log base
+        # measures (parity: /root/reference/src/Algorithm3.py:92-106)
+        g_diff = jnp.zeros_like(lw_aux)
+        for i in range(n_gp):
+            ref_bl = jax.tree_util.tree_map(
+                lambda r: r[..., None] if r.ndim else r, ref_stats[i]
+            )
+            with_future = mniw.log_base_measure_bl(
+                jax.tree_util.tree_map(
+                    lambda p, r, s: p + r + s,
+                    kern.priors_bl[i],
+                    ref_bl,
+                    stats[i],
+                )
+            )
+            without_future = mniw.log_base_measure_bl(
+                jax.tree_util.tree_map(
+                    lambda p, s: p + s, kern.priors_bl[i], stats[i]
+                )
+            )
+            g_diff = g_diff + without_future - with_future
+        if deterministic:
+            h_x = jnp.zeros_like(lw_aux)
+        else:
+            resid = aux_state - ref_x[:, None]
+            white = bla.solve_lower_bl(process_chol, resid)
+            dx = white.shape[0]
+            h_x = (
+                -0.5
+                * (dx * jnp.log(2.0 * jnp.asarray(jnp.pi, dtype))
+                   + jnp.sum(white * white, axis=0))
+                - _q_logdet
+            )
+        # Deviation: the reference builds the ancestor weights on the
+        # *auxiliary* weights (lookahead factor included,
+        # /root/reference/src/Algorithm3.py:115); the valid AS weight uses
+        # the time-(t-1) importance weights — the lookahead factor cancels
+        # against the pinned particle's later 1/nu correction. Verified
+        # against an exact Kalman smoother (tests/test_invariance.py).
+        key, key_ref = jax.random.split(key)
+        ref_idx = resampling.categorical_from_weights(
+            key_ref, jax.nn.softmax(log_weights + g_diff + h_x)
+        )
+        ancestors = ancestors.at[-1].set(ref_idx)
+
+        # --- propagate; pin reference state ---
+        key, key_state = jax.random.split(key)
+        new_state = kern.propagate_all(
+            key_state,
+            kern.gather(state, ancestors),
+            inp_prev,
+            kern.gather(int_vars, ancestors),
+        )
+        new_state = new_state.at[:, -1].set(ref_x)
+
+        # --- predictive interface-variable draws; pin reference ---
+        key, key_iv = jax.random.split(key)
+        factors_res = kern.gather(factors, ancestors)
+        new_iv, new_basis = kern.draw_int_vars(
+            key_iv, factors_res, new_state, inp_cur
+        )
+        new_iv = tuple(
+            new_iv[i].at[:, -1].set(jnp.atleast_1d(ref_iv[i]))
             for i in range(n_gp)
         )
+
+        new_stats = kern.update_stats(
+            kern.gather(stats, ancestors), new_iv, new_basis
+        )
+
+        # decrement the reference's own contribution at this step
+        # (parity: /root/reference/src/Algorithm3.py:162-174)
+        ref_T = ref_contribution(ref_x, ref_iv, inp_cur)
+        new_ref_stats = tuple(
+            jax.tree_util.tree_map(lambda s, t: s - t, ref_stats[i], ref_T[i])
+            for i in range(n_gp)
+        )
+
+        ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
+        new_log_weights = ll_new - ll_aux[ancestors]
+
+        norm_w = jax.nn.softmax(new_log_weights)
+        emits = (
+            new_state.T,
+            tuple(iv.T for iv in new_iv),
+            new_log_weights,
+            ancestors,
+            1.0 / jnp.sum(norm_w * norm_w),
+        )
+        return (
+            new_log_weights,
+            new_state,
+            new_iv,
+            new_stats,
+            new_ref_stats,
+        ), emits
 
     def run(
         key,
@@ -83,41 +198,38 @@ def build_csmc(
         ref_int_vars,
         ref_summed_stats,
     ):
-        observations = jnp.asarray(observations, dtype=dtype)
+        observations = jnp.atleast_2d(
+            jnp.asarray(observations, dtype=dtype).T
+        ).T
         inputs = jnp.asarray(inputs, dtype=dtype)
         ref_state = jnp.asarray(ref_state, dtype=dtype)
         ref_int_vars = tuple(
-            jnp.asarray(jnp.atleast_2d(r.T).T, dtype=dtype)
+            jnp.atleast_2d(jnp.asarray(r, dtype=dtype).T).T
             for r in ref_int_vars
         )
         n_steps = observations.shape[0]
-        output_chol = ssm.output_chol(dtype)
 
         key, key_init = jax.random.split(key)
-        log_w0, state0, iv0, stats0 = init_particles(
-            key_init,
-            ssm,
-            gps,
-            n_particles,
-            inputs[0],
-            init_state_mean,
-            init_state_cov,
-            dtype,
+        log_w0, state0, iv0, stats0 = kern.init_particles(
+            key_init, n_particles, inputs[0], init_state_mean, init_state_cov
         )
 
         # pin the last particle to the reference at t=0
         # (parity: /root/reference/src/Algorithm3.py:220-232)
-        state0 = state0.at[-1].set(ref_state[0])
+        state0 = state0.at[:, -1].set(ref_state[0])
         iv0 = tuple(
-            iv0[i].at[-1].set(jnp.atleast_1d(ref_int_vars[i][0]))
+            iv0[i].at[:, -1].set(jnp.atleast_1d(ref_int_vars[i][0]))
             for i in range(n_gp)
         )
         ref_T0 = ref_contribution(
             ref_state[0], tuple(r[0] for r in ref_int_vars), inputs[0]
         )
         stats0 = tuple(
-            jax.tree_util.tree_map(
-                lambda s, t: s.at[-1].set(t), stats0[i], ref_T0[i]
+            mniw.MNIW(
+                stats0[i].T0.at[..., -1].set(ref_T0[i].T0),
+                stats0[i].T1.at[..., -1].set(ref_T0[i].T1),
+                stats0[i].T2.at[..., -1].set(ref_T0[i].T2),
+                stats0[i].T3.at[-1].set(ref_T0[i].T3),
             )
             for i in range(n_gp)
         )
@@ -131,162 +243,6 @@ def build_csmc(
             )
             for i in range(n_gp)
         )
-
-        def step(carry, xs):
-            log_weights, state, int_vars, stats, ref_stats = carry
-            obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
-
-            factors = tuple(
-                jax.vmap(mniw.factorize)(
-                    jax.tree_util.tree_map(
-                        lambda p, s: p + s, priors[i], stats[i]
-                    )
-                )
-                for i in range(n_gp)
-            )
-
-            # --- auxiliary look-ahead ---
-            aux_state = jax.vmap(
-                lambda x, *iv: ssm.transition(x, inp_prev, *iv)
-            )(state, *int_vars)
-            aux_iv = tuple(
-                jax.vmap(
-                    lambda f, x: mniw.factor_mean_at(
-                        f, gps[i].basis_fn(x, inp_cur)
-                    )
-                )(factors[i], aux_state)
-                for i in range(n_gp)
-            )
-            ll_aux = jax.vmap(
-                lambda x, *iv: log_lik(obs, x, inp_cur, iv, output_chol)
-            )(aux_state, *aux_iv)
-            lw_aux = ll_aux + log_weights
-
-            key, key_res = jax.random.split(key)
-            ancestors = resampling.systematic(
-                key_res, jax.nn.softmax(lw_aux)
-            )
-
-            # --- ancestor sampling for the reference particle ---
-            # marginal-likelihood correction g_t - g_T from MNIW log base
-            # measures (parity: /root/reference/src/Algorithm3.py:92-106)
-            g_diff = jnp.zeros_like(lw_aux)
-            for i in range(n_gp):
-                with_future = jax.vmap(mniw.log_base_measure)(
-                    jax.tree_util.tree_map(
-                        lambda p, r, s: p + r + s,
-                        priors[i],
-                        ref_stats[i],
-                        stats[i],
-                    )
-                )
-                without_future = jax.vmap(mniw.log_base_measure)(
-                    jax.tree_util.tree_map(
-                        lambda p, s: p + s, priors[i], stats[i]
-                    )
-                )
-                g_diff = g_diff + without_future - with_future
-            if deterministic:
-                h_x = jnp.zeros_like(lw_aux)
-            else:
-                h_x = jax.vmap(
-                    lambda m: mvn_logpdf_chol(ref_x, m, process_chol)
-                )(aux_state)
-            lw_ancestor = lw_aux + g_diff + h_x
-            key, key_ref = jax.random.split(key)
-            ref_idx = resampling.categorical_from_weights(
-                key_ref, jax.nn.softmax(lw_ancestor)
-            )
-            ancestors = ancestors.at[-1].set(ref_idx)
-
-            # --- propagate; pin reference state ---
-            key, key_state = jax.random.split(key)
-            iv_gathered = tuple(iv[ancestors] for iv in int_vars)
-
-            def propagate(k, x, *iv):
-                nxt = ssm.transition(x, inp_prev, *iv)
-                if process_chol is None:
-                    return nxt
-                z = jax.random.normal(k, nxt.shape, dtype=dtype)
-                return nxt + process_chol @ z
-
-            new_state = jax.vmap(propagate)(
-                jax.random.split(key_state, n_particles),
-                state[ancestors],
-                *iv_gathered,
-            )
-            new_state = new_state.at[-1].set(ref_x)
-
-            # --- predictive interface-variable draws; pin reference ---
-            key, key_iv = jax.random.split(key)
-            keys_gp = jax.random.split(key_iv, n_gp)
-            factors_res = tuple(
-                jax.tree_util.tree_map(lambda a: a[ancestors], f)
-                for f in factors
-            )
-            new_basis = tuple(
-                jax.vmap(lambda x: gps[i].basis_fn(x, inp_cur))(new_state)
-                for i in range(n_gp)
-            )
-            new_iv = tuple(
-                jax.vmap(
-                    lambda k, f, phi: mniw.sample_predictive(
-                        k, mniw.factor_predictive(f, phi)
-                    )
-                )(
-                    jax.random.split(keys_gp[i], n_particles),
-                    factors_res[i],
-                    new_basis[i],
-                )
-                for i in range(n_gp)
-            )
-            new_iv = tuple(
-                new_iv[i].at[-1].set(jnp.atleast_1d(ref_iv[i]))
-                for i in range(n_gp)
-            )
-
-            # --- statistics updates ---
-            stats_gathered = tuple(
-                jax.tree_util.tree_map(lambda a: a[ancestors], st)
-                for st in stats
-            )
-            new_stats = tuple(
-                stats_gathered[i]
-                + jax.vmap(mniw.suff_stat)(new_iv[i], new_basis[i])
-                for i in range(n_gp)
-            )
-
-            # decrement the reference's own contribution at this step
-            # (parity: /root/reference/src/Algorithm3.py:162-174)
-            ref_T = ref_contribution(ref_x, ref_iv, inp_cur)
-            new_ref_stats = tuple(
-                jax.tree_util.tree_map(
-                    lambda s, t: s - t, ref_stats[i], ref_T[i]
-                )
-                for i in range(n_gp)
-            )
-
-            ll_new = jax.vmap(
-                lambda x, *iv: log_lik(obs, x, inp_cur, iv, output_chol)
-            )(new_state, *new_iv)
-            new_log_weights = ll_new - ll_aux[ancestors]
-
-            norm_w = jax.nn.softmax(new_log_weights)
-            new_carry = (
-                new_log_weights,
-                new_state,
-                new_iv,
-                new_stats,
-                new_ref_stats,
-            )
-            emits = (
-                new_state,
-                new_iv,
-                new_log_weights,
-                ancestors,
-                1.0 / jnp.sum(norm_w * norm_w),
-            )
-            return new_carry, emits
 
         keys = jax.random.split(key, n_steps)
         xs = (
@@ -302,9 +258,9 @@ def build_csmc(
         state_tr, iv_tr, log_w_tr, ancestors, ess = emits
         final_log_w = carry[0]
 
-        states = jnp.concatenate([state0[None], state_tr])
+        states = jnp.concatenate([state0.T[None], state_tr])
         int_vars = tuple(
-            jnp.concatenate([iv0[i][None], iv_tr[i]]) for i in range(n_gp)
+            jnp.concatenate([iv0[i].T[None], iv_tr[i]]) for i in range(n_gp)
         )
 
         # draw one trajectory by backward ancestry

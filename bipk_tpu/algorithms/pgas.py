@@ -11,6 +11,18 @@ the reference's input-time convention here differs from Algorithm 1: the
 cSMC propagates with the input at the *current* step
 (``/root/reference/src/PGAS.py:52-77``) while the parameter update pairs
 ``(x_{t-1}, u_{t-1}) -> x_t`` (``:294-297``); both are preserved.
+
+Two reference bugs are deliberately not reproduced (both verified against
+an exact Kalman/RTS smoother, see ``tests/test_invariance.py``):
+
+1. the reference draws systematic resampling ancestors but proposes from
+   the *pre-resampling* states (``PGAS.py:129-134``), breaking the
+   ancestral linkage its own backward reconstruction assumes;
+2. the reference's ancestor-sampling weight for the pinned particle
+   includes the auxiliary lookahead factor (``PGAS.py:117``); the valid AS
+   weight is ``w_{t-1} f(ref_t | x_{t-1})`` — the lookahead factor cancels
+   against the pinned particle's subsequent ``1/nu`` weight correction, and
+   keeping it measurably breaks cSMC invariance.
 """
 
 from __future__ import annotations
@@ -33,46 +45,25 @@ class PGASResult(NamedTuple):
     covs: jax.Array  # (K, dx, dx) sampled noise covariances
 
 
-def build_pgas(
+def build_pgas_csmc(
     basis_fn: Callable,
     likelihood_fn: Callable,
-    prior: mniw.MNIW,
     n_particles: int,
-    n_iterations: int,
     dtype=jnp.float32,
-    fused: bool = True,
 ) -> Callable:
-    """Build the classic PGAS sampler.
+    """Build the fixed-parameter conditional SMC sweep used inside PGAS.
 
-    ``basis_fn(x, u) -> phi``; ``likelihood_fn(obs, x, u) -> logpdf``;
-    ``prior`` the MNIW prior over ``(A, S)`` in natural form. Returns
-    ``run(key, observations, inputs, init_state_mean, init_state_cov,
-    init_ref_state) -> PGASResult``.
+    Returns ``sweep(key, observations, inputs, init_mean, init_cov,
+    ref_state, A, S) -> trajectory``. Exposed separately so the kernel's
+    invariance can be validated against exact (Kalman/RTS) posteriors on
+    linear-Gaussian models (``tests/test_invariance.py``).
+
+    Parity: ``condSequentialMonteCarlo``
+    (``/root/reference/src/PGAS.py:14-228``), modulo the two bug fixes in
+    the module docstring.
     """
-    prior_t = prior
-
-    def sample_params(key, trajectory, inputs):
-        """Conjugate draw given a trajectory.
-
-        Parity: ``PGAS.sample_params`` (``/root/reference/src/PGAS.py:
-        288-343``) — statistics pair ``(x_{t-1}, u_{t-1}) -> x_t``.
-        """
-        phi = jax.vmap(basis_fn)(trajectory[:-1], inputs[:-1])
-        stats = jax.vmap(mniw.suff_stat)(trajectory[1:], phi)
-        summed = jax.tree_util.tree_map(
-            lambda s: jnp.sum(s, axis=0), stats
-        )
-        posterior = jax.tree_util.tree_map(
-            lambda p, s: jnp.asarray(p, dtype=dtype) + s, prior_t, summed
-        )
-        return mniw.sample_parameters(key, posterior)
 
     def csmc_sweep(key, observations, inputs, init_mean, init_cov, ref_state, A, S):
-        """Conditional SMC with GP-only proposal ``N(A phi, S)``.
-
-        Parity: ``condSequentialMonteCarlo``
-        (``/root/reference/src/PGAS.py:14-228``).
-        """
         n_steps = observations.shape[0]
         chol_S = mniw.chol_spd(S)
 
@@ -101,23 +92,18 @@ def build_pgas(
                 key_res, jax.nn.softmax(lw_aux)
             )
 
-            # ancestor draw for the reference: transition density only
-            # (parity: /root/reference/src/PGAS.py:108-127)
+            # ancestor draw for the pinned reference particle: the valid AS
+            # weight w_{t-1} f(ref_t | x_{t-1}) (bug-fix #2, module docstring)
             h_x = jax.vmap(
                 lambda m: mvn_logpdf_chol(ref_x, m, chol_S)
             )(aux_state)
             key, key_ref = jax.random.split(key)
             ref_idx = resampling.categorical_from_weights(
-                key_ref, jax.nn.softmax(lw_aux + h_x)
+                key_ref, jax.nn.softmax(log_weights + h_x)
             )
             ancestors = ancestors.at[-1].set(ref_idx)
 
-            # propose from the resampled ancestors: N(A phi(x_a), S).
-            # Deviation: the reference draws systematic ancestors but never
-            # gathers states by them (/root/reference/src/PGAS.py:129-134
-            # proposes from the pre-resampling states), which breaks the
-            # ancestral linkage its own backward reconstruction assumes;
-            # the correct cSMC gather is used here.
+            # propose from the resampled ancestors (bug-fix #1)
             key, key_state = jax.random.split(key)
             z = jax.random.normal(
                 key_state, (n_particles, state.shape[-1]), dtype=dtype
@@ -146,6 +132,42 @@ def build_pgas(
         )
         traj, _ = resampling.reconstruct_trajectory(states, ancestors, idx)
         return traj
+
+    return csmc_sweep
+
+
+def build_pgas(
+    basis_fn: Callable,
+    likelihood_fn: Callable,
+    prior: mniw.MNIW,
+    n_particles: int,
+    n_iterations: int,
+    dtype=jnp.float32,
+    fused: bool = True,
+) -> Callable:
+    """Build the classic PGAS sampler.
+
+    ``basis_fn(x, u) -> phi``; ``likelihood_fn(obs, x, u) -> logpdf``;
+    ``prior`` the MNIW prior over ``(A, S)`` in natural form. Returns
+    ``run(key, observations, inputs, init_state_mean, init_state_cov,
+    init_ref_state) -> PGASResult``.
+    """
+    prior_t = prior
+    csmc_sweep = build_pgas_csmc(basis_fn, likelihood_fn, n_particles, dtype)
+
+    def sample_params(key, trajectory, inputs):
+        """Conjugate draw given a trajectory.
+
+        Parity: ``PGAS.sample_params`` (``/root/reference/src/PGAS.py:
+        288-343``) — statistics pair ``(x_{t-1}, u_{t-1}) -> x_t``.
+        """
+        phi = jax.vmap(basis_fn)(trajectory[:-1], inputs[:-1])
+        stats = jax.vmap(mniw.suff_stat)(trajectory[1:], phi)
+        summed = jax.tree_util.tree_map(lambda s: jnp.sum(s, axis=0), stats)
+        posterior = jax.tree_util.tree_map(
+            lambda p, s: jnp.asarray(p, dtype=dtype) + s, prior_t, summed
+        )
+        return mniw.sample_parameters(key, posterior)
 
     def run(
         key,

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import jax.scipy as jsp
+
+from bipk_tpu.ops import batched_linalg as bla
 
 _LOG_2PI = float(jnp.log(2.0 * jnp.pi))
 
@@ -22,7 +23,7 @@ def mvn_logpdf_chol(x, mean, chol_cov) -> jax.Array:
     mean = jnp.atleast_1d(mean)
     chol_cov = jnp.atleast_2d(chol_cov)
     dim = chol_cov.shape[-1]
-    white = jsp.linalg.solve_triangular(chol_cov, x - mean, lower=True)
+    white = bla.solve_lower(chol_cov, x - mean)
     logdet = jnp.sum(jnp.log(jnp.diagonal(chol_cov, axis1=-2, axis2=-1)))
     return -0.5 * (dim * _LOG_2PI + jnp.sum(white * white)) - logdet
 

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import jax.scipy as jsp
 
+from bipk_tpu.ops import batched_linalg as bla
+
 
 class MNIW(NamedTuple):
     """Natural parameters (or additive sufficient statistics) of an MNIW."""
@@ -94,7 +96,7 @@ def chol_spd(A: jax.Array, jitter: float | None = None) -> jax.Array:
     if jitter:
         scale = jnp.trace(A) / A.shape[-1]
         A = A + (jitter * scale) * jnp.eye(A.shape[-1], dtype=A.dtype)
-    return jnp.linalg.cholesky(A)
+    return bla.chol_lower(A)
 
 
 def solve_spd(A: jax.Array, B: jax.Array) -> jax.Array:
@@ -103,7 +105,7 @@ def solve_spd(A: jax.Array, B: jax.Array) -> jax.Array:
     Mirrors ``/root/reference/src/BayesianInferrence.py:11-13``.
     """
     L = chol_spd(A)
-    return jsp.linalg.cho_solve((L, True), B)
+    return bla.cho_solve(L, B)
 
 
 def natural_from_standard(
@@ -133,8 +135,8 @@ def standard_from_natural(nat: MNIW):
     """
     L = chol_spd(nat.T1)
     eye = jnp.eye(nat.T1.shape[0], dtype=nat.T1.dtype)
-    col_cov = jsp.linalg.cho_solve((L, True), eye)
-    mean = jsp.linalg.cho_solve((L, True), nat.T0).T
+    col_cov = bla.cho_solve(L, eye)
+    mean = bla.cho_solve(L, nat.T0).T
     row_scale = nat.T2 - mean @ nat.T0
     return jnp.atleast_2d(mean), col_cov, jnp.atleast_2d(row_scale), nat.T3
 
@@ -173,14 +175,14 @@ def factorize(nat: MNIW) -> MNIWFactor:
     """
     T1_sym = 0.5 * (nat.T1 + nat.T1.T)
     L = chol_spd(T1_sym)
-    white_T0 = jsp.linalg.solve_triangular(L, nat.T0, lower=True)
+    white_T0 = bla.solve_lower(L, nat.T0)
     row_scale = nat.T2 - white_T0.T @ white_T0
     return MNIWFactor(L, white_T0, row_scale, nat.T3)
 
 
 def factor_mean_at(factor: MNIWFactor, phi: jax.Array) -> jax.Array:
     """Posterior-mean prediction ``E[A] phi`` from a shared factorization."""
-    v = jsp.linalg.solve_triangular(factor.chol, phi, lower=True)
+    v = bla.solve_lower(factor.chol, phi)
     return factor.white_T0.T @ v
 
 
@@ -194,7 +196,7 @@ def factor_predictive(factor: MNIWFactor, phi: jax.Array) -> Predictive:
     ``v = chol^{-1} phi`` and ``W = chol^{-1} T0``.
     """
     n = factor.row_scale.shape[-1]
-    v = jsp.linalg.solve_triangular(factor.chol, phi, lower=True)
+    v = bla.solve_lower(factor.chol, phi)
     mean = factor.white_T0.T @ v
     col_scale = v @ v + jnp.asarray(1.0, dtype=phi.dtype)
     df = factor.df + 1.0 - n
@@ -242,11 +244,11 @@ def log_base_measure(nat: MNIW) -> jax.Array:
     m = nat.T1.shape[-1]
 
     L1 = chol_spd(0.5 * (nat.T1 + nat.T1.T))
-    white = jsp.linalg.solve_triangular(L1, nat.T0, lower=True)
+    white = bla.solve_lower(L1, nat.T0)
     Psi = nat.T2 - white.T @ white
-    logdet_T1 = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L1, axis1=-2, axis2=-1)))
+    logdet_T1 = bla.logdet_from_chol(L1)
     LPsi = chol_spd(0.5 * (Psi + Psi.T))
-    logdet_Psi = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LPsi, axis1=-2, axis2=-1)))
+    logdet_Psi = bla.logdet_from_chol(LPsi)
 
     nu = nat.T3
     out = -0.5 * n * m * jnp.log(2.0 * jnp.pi)
@@ -291,3 +293,173 @@ def sample_parameters(key: jax.Array, nat: MNIW):
     Z = jax.random.normal(key_coeff, mean.shape, dtype=dtype)
     A = mean + S_chol @ Z @ V_chol.T
     return A, S
+
+
+# ---------------------------------------------------------------------------
+# Batch-last MNIW kernels for the filter hot path.
+#
+# Layout: T0 (m, n, N), T1 (m, m, N), T2 (n, n, N), T3 (N,) with the
+# particle batch N in TPU lanes (see bipk_tpu.ops.batched_linalg). The
+# output dimension n is 1-2 in every workload, so cross-n contractions are
+# unrolled. RNG is drawn in one batched call per step instead of per
+# particle.
+# ---------------------------------------------------------------------------
+
+
+def _gram_bl(W: jax.Array) -> jax.Array:
+    """``(m, n, N) -> (n, n, N)`` Gram matrix ``W^T W`` over axis 0."""
+    n = W.shape[1]
+    return jnp.stack(
+        [
+            jnp.stack([jnp.sum(W[:, i] * W[:, j], axis=0) for j in range(n)])
+            for i in range(n)
+        ]
+    )
+
+
+def _pallas_ok(nat_or_dtype) -> bool:
+    dtype = getattr(nat_or_dtype, "dtype", None) or nat_or_dtype.T1.dtype
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    from bipk_tpu.ops import pallas_kernels
+
+    return pallas_kernels.enabled()
+
+
+def factorize_bl(nat: MNIW, jitter: float | None = None) -> MNIWFactor:
+    """Batch-last :func:`factorize`: leaves shaped ``(m, m, N)`` etc.
+
+    Dispatches to the fused Pallas kernel on TPU (one kernel for the whole
+    symmetrize + jitter + Cholesky + whitening + Schur complement chain);
+    the unrolled-XLA formulation is the portable fallback.
+    """
+    if jitter is None:
+        jitter = _default_jitter(nat.T1.dtype)
+    if _pallas_ok(nat):
+        from bipk_tpu.ops import pallas_kernels
+
+        chol, white, row = pallas_kernels.factorize_blocks(
+            nat.T0, nat.T1, nat.T2, float(jitter)
+        )
+        return MNIWFactor(chol, white, row, nat.T3)
+    T1s = 0.5 * (nat.T1 + jnp.swapaxes(nat.T1, 0, 1))
+    if jitter:
+        m = T1s.shape[0]
+        trace = sum(T1s[i, i] for i in range(m)) / m  # (N,)
+        eye = jnp.eye(m, dtype=T1s.dtype)[:, :, None]
+        T1s = T1s + (jitter * trace) * eye
+    L = bla.chol_lower_bl(T1s)
+    white_T0 = bla.solve_lower_bl(L, nat.T0)
+    row_scale = nat.T2 - _gram_bl(white_T0)
+    return MNIWFactor(L, white_T0, row_scale, nat.T3)
+
+
+def factor_mean_at_bl(factor: MNIWFactor, phi: jax.Array) -> jax.Array:
+    """Posterior-mean prediction, batch-last: ``phi (m, N) -> (n, N)``."""
+    if phi.ndim == 2 and _pallas_ok(factor.chol):
+        from bipk_tpu.ops import pallas_kernels
+
+        mean, _ = pallas_kernels.project_blocks(
+            factor.chol, factor.white_T0, phi
+        )
+        return mean
+    v = bla.solve_lower_bl(factor.chol, phi)
+    n = factor.white_T0.shape[1]
+    return jnp.stack(
+        [jnp.sum(factor.white_T0[:, i] * v, axis=0) for i in range(n)]
+    )
+
+
+def sample_predictive_bl(
+    key: jax.Array, factor: MNIWFactor, phi: jax.Array
+) -> jax.Array:
+    """Fused matrix-t predictive + draw, batch-last.
+
+    ``phi (m, N) -> draws (n, N)``; one batched Student-t call for the whole
+    particle population (the batch-first path splits N keys per step).
+    """
+    n = factor.row_scale.shape[0]
+    if phi.ndim == 2 and _pallas_ok(factor.chol):
+        from bipk_tpu.ops import pallas_kernels
+
+        mean, col_scale = pallas_kernels.project_blocks(
+            factor.chol, factor.white_T0, phi
+        )
+    else:
+        v = bla.solve_lower_bl(factor.chol, phi)
+        mean = jnp.stack(
+            [jnp.sum(factor.white_T0[:, i] * v, axis=0) for i in range(n)]
+        )  # (n, N)
+        col_scale = jnp.sum(v * v, axis=0) + 1.0  # (N,)
+    df = factor.df + (1.0 - n)  # (N,)
+    row_pred = factor.row_scale / df  # (n, n, N)
+    chol_row = bla.chol_lower_bl(row_pred)
+    t = jax.random.t(key, df, shape=(n,) + df.shape, dtype=phi.dtype)
+    scaled = jnp.stack(
+        [
+            sum(chol_row[i, j] * t[j] for j in range(n))
+            for i in range(n)
+        ]
+    )
+    return mean + scaled * jnp.sqrt(col_scale)
+
+
+def suff_stat_bl(y: jax.Array, phi: jax.Array) -> MNIW:
+    """Rank-1 statistics, batch-last: ``y (n, N)``, ``phi (m, N)``."""
+    return MNIW(
+        phi[:, None, :] * y[None, :, :],
+        phi[:, None, :] * phi[None, :, :],
+        y[:, None, :] * y[None, :, :],
+        jnp.ones(y.shape[-1], dtype=phi.dtype),
+    )
+
+
+def log_base_measure_bl(nat: MNIW) -> jax.Array:
+    """Batch-last :func:`log_base_measure`: returns ``(N,)``."""
+    n = nat.T2.shape[0]
+    m = nat.T1.shape[0]
+    jitter = _default_jitter(nat.T1.dtype)
+    if n <= 2 and _pallas_ok(nat):
+        from bipk_tpu.ops import pallas_kernels
+
+        logdet_T1, logdet_Psi = pallas_kernels.log_base_measure_logdets(
+            nat.T0, nat.T1, nat.T2, float(jitter)
+        )
+    else:
+        T1s = 0.5 * (nat.T1 + jnp.swapaxes(nat.T1, 0, 1))
+        if jitter:
+            trace = sum(T1s[i, i] for i in range(m)) / m
+            T1s = T1s + (jitter * trace) * jnp.eye(m, dtype=T1s.dtype)[:, :, None]
+        L1 = bla.chol_lower_bl(T1s)
+        white = bla.solve_lower_bl(L1, nat.T0)
+        Psi = nat.T2 - _gram_bl(white)
+        Psi = 0.5 * (Psi + jnp.swapaxes(Psi, 0, 1))
+        logdet_T1 = bla.logdet_from_chol_bl(L1)
+        logdet_Psi = bla.logdet_from_chol_bl(bla.chol_lower_bl(Psi))
+    nu = nat.T3
+    out = -0.5 * n * m * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype=nu.dtype))
+    out = out + 0.5 * n * logdet_T1
+    out = out - 0.5 * nu * n * jnp.log(jnp.asarray(2.0, dtype=nu.dtype))
+    out = out - jsp.special.multigammaln(nu / 2.0, n)
+    out = out + 0.5 * nu * logdet_Psi
+    return out
+
+
+def to_batch_last(nat: MNIW) -> MNIW:
+    """``(N, ...)`` leaves -> batch-last layout."""
+    return MNIW(
+        jnp.moveaxis(nat.T0, 0, -1),
+        jnp.moveaxis(nat.T1, 0, -1),
+        jnp.moveaxis(nat.T2, 0, -1),
+        nat.T3,
+    )
+
+
+def from_batch_last(nat: MNIW) -> MNIW:
+    """Batch-last leaves -> ``(N, ...)`` layout."""
+    return MNIW(
+        jnp.moveaxis(nat.T0, -1, 0),
+        jnp.moveaxis(nat.T1, -1, 0),
+        jnp.moveaxis(nat.T2, -1, 0),
+        nat.T3,
+    )

@@ -1,12 +1,12 @@
 """Particle-sharded sweeps over a device mesh (shard_map + psum).
 
 The particle axis shards over a 1-D mesh; per-particle work (physics RK4,
-basis evaluation, per-particle MNIW Cholesky) is embarrassingly parallel.
-Communication points and their collectives:
+basis evaluation, per-particle MNIW factorization) is embarrassingly
+parallel. Communication points and their collectives:
 
 - weight normalization / ESS: ``pmax`` + ``psum`` (scalars),
 - per-step weighted statistics / moment reductions: ``psum`` of local
-  ``einsum`` partials (a few KB),
+  contraction partials (a few KB),
 - resampling: **local systematic resampling with global weight
   normalization** — each shard resamples its own slice from locally
   renormalized weights and carries the shard's global mass as a log-weight
@@ -15,9 +15,10 @@ Communication points and their collectives:
   (``/root/reference/src/Filtering.py:28-35``) but keeps the estimator
   unbiased; the single-chip path reproduces the exact global scheme.
 
-Memory: traces reduce to weighted moments on the fly (the full ``(T, N,
-...)`` trace of 1M-particle runs would not fit HBM), final particle state
-stays sharded for chaining.
+Per-particle tensors are batch-last (lanes = particles, see
+``bipk_tpu.algorithms.apf``). Traces reduce to weighted moments on the fly
+(full ``(T, N, ...)`` traces of 1M-particle runs would not fit HBM); the
+final particle population stays sharded for chaining.
 """
 
 from __future__ import annotations
@@ -29,9 +30,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from bipk_tpu.algorithms.apf import APFKernel
 from bipk_tpu.models.ssm import GPNode, SSM
 from bipk_tpu.ops import mniw, resampling
-from bipk_tpu.ops.gaussian import mvn_logpdf_chol
 from bipk_tpu.parallel.mesh import PARTICLE_AXIS
 
 
@@ -68,111 +69,56 @@ def build_sharded_apf(
     ``bipk_tpu.algorithms.apf`` (Algorithm 1) with the sharded resampling
     scheme described in the module docstring.
     """
-    gps = tuple(gps)
-    n_gp = len(gps)
+    kern = APFKernel(ssm, gps, dtype)
+    n_gp = kern.n_gp
     n_dev = mesh.devices.size
     if n_particles % n_dev:
         raise ValueError(
             f"n_particles={n_particles} not divisible by mesh size {n_dev}"
         )
     n_loc = n_particles // n_dev
-    priors = tuple(gp.prior_as(dtype) for gp in gps)
-    process_chol = None if ssm.is_deterministic else ssm.process_chol(dtype)
+
+    def reduce_moments(w_global, state, int_vars, stats):
+        sm = jax.lax.psum(
+            jnp.tensordot(state, w_global, axes=(-1, 0)), PARTICLE_AXIS
+        )
+        ivm = tuple(
+            jax.lax.psum(
+                jnp.tensordot(iv, w_global, axes=(-1, 0)), PARTICLE_AXIS
+            )
+            for iv in int_vars
+        )
+        stm = tuple(
+            jax.tree_util.tree_map(
+                lambda s: jax.lax.psum(
+                    jnp.tensordot(s, w_global, axes=(-1, 0)), PARTICLE_AXIS
+                ),
+                st,
+            )
+            for st in stats
+        )
+        ess = 1.0 / jax.lax.psum(jnp.sum(w_global * w_global), PARTICLE_AXIS)
+        return sm, ivm, stm, ess
 
     def sweep(key, observations, inputs, init_mean, init_cov):
         """Per-shard body (runs under shard_map)."""
         shard = jax.lax.axis_index(PARTICLE_AXIS)
         key = jax.random.fold_in(key, shard)
-        output_chol = ssm.output_chol(dtype)
 
-        def log_lik(obs, state, inp, int_vars):
-            out = jnp.atleast_1d(ssm.output(state, inp, *int_vars))
-            return mvn_logpdf_chol(obs, out, output_chol)
-
-        # --- init (local slice of the global particle population) ---
-        key, key_state = jax.random.split(key)
-        state = jax.random.multivariate_normal(
-            key_state,
-            jnp.asarray(init_mean, dtype=dtype),
-            jnp.asarray(init_cov, dtype=dtype),
-            (n_loc,),
-            dtype=dtype,
+        key, key_init = jax.random.split(key)
+        log_weights, state, int_vars, stats = kern.init_particles(
+            key_init, n_loc, inputs[0], init_mean, init_cov
         )
-        int_vars = []
-        for gp in gps:
-            key, key_iv = jax.random.split(key)
-            int_vars.append(
-                jax.random.multivariate_normal(
-                    key_iv,
-                    jnp.asarray(jnp.atleast_1d(gp.init_mean), dtype=dtype),
-                    jnp.asarray(jnp.atleast_2d(gp.init_cov), dtype=dtype),
-                    (n_loc,),
-                    dtype=dtype,
-                )
-            )
-        int_vars = tuple(int_vars)
-        stats = tuple(
-            jax.vmap(mniw.suff_stat)(
-                int_vars[i],
-                jax.vmap(lambda x: gps[i].basis_fn(x, inputs[0]))(state),
-            )
-            for i in range(n_gp)
-        )
-        log_weights = jnp.zeros((n_loc,), dtype=dtype)
-
-        def reduce_moments(w_global, state, int_vars, stats):
-            sm = jax.lax.psum(
-                jnp.einsum("n,nd->d", w_global, state), PARTICLE_AXIS
-            )
-            ivm = tuple(
-                jax.lax.psum(
-                    jnp.einsum("n,nd->d", w_global, iv), PARTICLE_AXIS
-                )
-                for iv in int_vars
-            )
-            stm = tuple(
-                jax.tree_util.tree_map(
-                    lambda s: jax.lax.psum(
-                        jnp.einsum("n...,n->...", s, w_global), PARTICLE_AXIS
-                    ),
-                    st,
-                )
-                for st in stats
-            )
-            ess = 1.0 / jax.lax.psum(
-                jnp.sum(w_global * w_global), PARTICLE_AXIS
-            )
-            return sm, ivm, stm, ess
 
         def step(carry, xs):
             log_weights, state, int_vars, stats = carry
             obs, inp_prev, inp_cur, key = xs
 
             stats = tuple(st.scale(forgetting_factor) for st in stats)
-            factors = tuple(
-                jax.vmap(mniw.factorize)(
-                    jax.tree_util.tree_map(
-                        lambda p, s: p + s, priors[i], stats[i]
-                    )
-                )
-                for i in range(n_gp)
+            factors = kern.factorize_all(stats)
+            aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
+                state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
             )
-
-            aux_state = jax.vmap(
-                lambda x, *iv: ssm.transition(x, inp_prev, *iv)
-            )(state, *int_vars)
-            aux_iv = tuple(
-                jax.vmap(
-                    lambda f, x: mniw.factor_mean_at(
-                        f, gps[i].basis_fn(x, inp_cur)
-                    )
-                )(factors[i], aux_state)
-                for i in range(n_gp)
-            )
-            ll_aux = jax.vmap(
-                lambda x, *iv: log_lik(obs, x, inp_cur, iv)
-            )(aux_state, *aux_iv)
-            lw_aux = ll_aux + log_weights
 
             # global normalization; local systematic resampling
             w_global = _global_softmax(lw_aux)
@@ -183,57 +129,23 @@ def build_sharded_apf(
             offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
 
             key, key_state = jax.random.split(key)
-            iv_gathered = tuple(iv[ancestors] for iv in int_vars)
-
-            def propagate(k, x, *iv):
-                nxt = ssm.transition(x, inp_prev, *iv)
-                if process_chol is None:
-                    return nxt
-                z = jax.random.normal(k, nxt.shape, dtype=dtype)
-                return nxt + process_chol @ z
-
-            new_state = jax.vmap(propagate)(
-                jax.random.split(key_state, n_loc),
-                state[ancestors],
-                *iv_gathered,
+            new_state = kern.propagate_all(
+                key_state,
+                kern.gather(state, ancestors),
+                inp_prev,
+                kern.gather(int_vars, ancestors),
             )
 
             key, key_iv = jax.random.split(key)
-            keys_gp = jax.random.split(key_iv, n_gp)
-            factors_res = tuple(
-                jax.tree_util.tree_map(lambda a: a[ancestors], f)
-                for f in factors
+            factors_res = kern.gather(factors, ancestors)
+            new_iv, new_basis = kern.draw_int_vars(
+                key_iv, factors_res, new_state, inp_cur
             )
-            new_basis = tuple(
-                jax.vmap(lambda x: gps[i].basis_fn(x, inp_cur))(new_state)
-                for i in range(n_gp)
-            )
-            new_iv = tuple(
-                jax.vmap(
-                    lambda k, f, phi: mniw.sample_predictive(
-                        k, mniw.factor_predictive(f, phi)
-                    )
-                )(
-                    jax.random.split(keys_gp[i], n_loc),
-                    factors_res[i],
-                    new_basis[i],
-                )
-                for i in range(n_gp)
+            new_stats = kern.update_stats(
+                kern.gather(stats, ancestors), new_iv, new_basis
             )
 
-            stats_gathered = tuple(
-                jax.tree_util.tree_map(lambda a: a[ancestors], st)
-                for st in stats
-            )
-            new_stats = tuple(
-                stats_gathered[i]
-                + jax.vmap(mniw.suff_stat)(new_iv[i], new_basis[i])
-                for i in range(n_gp)
-            )
-
-            ll_new = jax.vmap(
-                lambda x, *iv: log_lik(obs, x, inp_cur, iv)
-            )(new_state, *new_iv)
+            ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
             new_log_weights = ll_new - ll_aux[ancestors] + offset
 
             w_new = _global_softmax(new_log_weights)
@@ -265,19 +177,19 @@ def build_sharded_apf(
             iv_mean,
             stats_mean,
             ess_tr,
-            final_state,
+            final_state.T,
             final_log_w,
-            final_stats,
+            tuple(mniw.from_batch_last(st) for st in final_stats),
         )
 
     stats_spec = tuple(
-        mniw.MNIW(P(PARTICLE_AXIS), P(PARTICLE_AXIS), P(PARTICLE_AXIS), P(PARTICLE_AXIS))
+        mniw.MNIW(
+            P(PARTICLE_AXIS), P(PARTICLE_AXIS), P(PARTICLE_AXIS), P(PARTICLE_AXIS)
+        )
         for _ in range(n_gp)
     )
     iv_spec = tuple(P() for _ in range(n_gp))
-    stats_mean_spec = tuple(
-        mniw.MNIW(P(), P(), P(), P()) for _ in range(n_gp)
-    )
+    stats_mean_spec = tuple(mniw.MNIW(P(), P(), P(), P()) for _ in range(n_gp))
     sharded = shard_map(
         sweep,
         mesh=mesh,
@@ -295,14 +207,16 @@ def build_sharded_apf(
     )
 
     def run(key, observations, inputs, init_state_mean, init_state_cov):
-        observations = jnp.asarray(observations, dtype=dtype)
+        observations = jnp.atleast_2d(
+            jnp.asarray(observations, dtype=dtype).T
+        ).T
         inputs = jnp.asarray(inputs, dtype=dtype)
         out = sharded(
             key,
             observations,
             inputs,
             jnp.asarray(init_state_mean, dtype=dtype),
-            jnp.asarray(init_state_cov, dtype=dtype),
+            jnp.asarray(jnp.atleast_2d(init_state_cov), dtype=dtype),
         )
         return ShardedAPFResult(*out)
 

@@ -27,8 +27,15 @@ def _ar1_data(key, a=0.85, q=0.3, r=0.4, T=120):
 
 @pytest.fixture(scope="module")
 def pgas_ar1():
-    """PGAS with a single linear basis phi(x)=x learns the AR coefficient."""
-    a_true, q_true, r_obs = 0.85, 0.3, 0.4
+    """PGAS with a single linear basis phi(x)=x learns the AR coefficient.
+
+    The observation noise is small so the exact conditional posterior of
+    the coefficient concentrates at the least-squares value computed from
+    the *realized* latent trajectory — a sharp analytic target (the
+    generative coefficient itself is only recovered up to finite-sample
+    autocorrelation error).
+    """
+    a_true, q_true, r_obs = 0.85, 0.3, 0.1
     T = 120
     key = jax.random.key(7)
     key, key_sim = jax.random.split(key)
@@ -47,7 +54,7 @@ def pgas_ar1():
             ),
             prior=prior,
             n_particles=80,
-            n_iterations=120,
+            n_iterations=200,
             dtype=jnp.float64,
         )
     )
@@ -66,25 +73,28 @@ def pgas_ar1():
 def test_shapes(pgas_ar1):
     a_true, q_true, X, Y, res = pgas_ar1
     T = X.shape[0]
-    assert res.states.shape == (T, 120, 1)
-    assert res.coeffs.shape == (120, 1, 1)
-    assert res.covs.shape == (120, 1, 1)
-    assert res.log_likelihood.shape == (T, 120)
+    assert res.states.shape == (T, 200, 1)
+    assert res.coeffs.shape == (200, 1, 1)
+    assert res.covs.shape == (200, 1, 1)
+    assert res.log_likelihood.shape == (T, 200)
     assert np.all(np.isfinite(np.asarray(res.log_likelihood)))
 
 
 def test_ar_coefficient_posterior(pgas_ar1):
-    """Posterior over the AR coefficient concentrates near the truth."""
+    """Posterior over the AR coefficient concentrates at the conditional
+    (given-latent-states) least-squares value."""
     a_true, q_true, X, Y, res = pgas_ar1
-    a_draws = np.asarray(res.coeffs[60:, 0, 0])
-    assert abs(a_draws.mean() - a_true) < 0.1, a_draws.mean()
+    xn = np.asarray(X)[:, 0]
+    ls = np.sum(xn[1:] * xn[:-1]) / np.sum(xn[:-1] ** 2)
+    a_draws = np.asarray(res.coeffs[100:, 0, 0])
+    assert abs(a_draws.mean() - ls) < 0.08, (a_draws.mean(), ls)
 
 
 def test_noise_posterior(pgas_ar1):
     """Posterior over the process variance concentrates near q^2."""
     a_true, q_true, X, Y, res = pgas_ar1
-    s_draws = np.asarray(res.covs[60:, 0, 0])
-    assert abs(np.median(s_draws) - q_true**2) < 0.1, np.median(s_draws)
+    s_draws = np.asarray(res.covs[100:, 0, 0])
+    assert abs(np.median(s_draws) - q_true**2) < 0.05, np.median(s_draws)
 
 
 def test_chain_moves(pgas_ar1):
