@@ -88,5 +88,74 @@ def main():
     run_variant("no-factorize", {(mniw, "factorize_bl"): cheap_factorize})
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("ABLATE_EXTRA"):
     main()
+
+
+def extra_variants():
+    """Additional ablations appended for scale diagnosis."""
+    import types
+    from bipk_tpu.algorithms.apf import APFKernel
+
+    cfg = veh.VehicleConfig(t_end=4.0)
+    model = veh.make_model(cfg)
+    key = jax.random.key(0)
+    key, ks = jax.random.split(key)
+    _, Y, _, _, inputs = veh.simulate(ks, cfg, dtype=jnp.float32)
+    T = Y.shape[0]
+    x0 = jnp.asarray(model.x0, jnp.float32)
+    p0 = jnp.asarray(model.p0, jnp.float32)
+
+    def run_variant(name, patches):
+        saved = {}
+        for (obj, attr), repl in patches.items():
+            saved[(obj, attr)] = (
+                obj.__dict__[attr] if isinstance(obj, type) else getattr(obj, attr)
+            )
+            setattr(obj, attr, repl)
+        try:
+            run = jax.jit(apf.build_apf(model.ssm, model.gps, N, 0.999, dtype=jnp.float32))
+            out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
+            rt = time.perf_counter() - t0
+            print(f"{name}: {rt/(T-1)*1e3:.2f} ms/step", flush=True)
+        finally:
+            for k, v in saved.items():
+                setattr(k[0], k[1], v)
+
+    run_variant("full", {})
+
+    def identity_gather(tree, idx):
+        return tree
+
+    run_variant("no-gathers", {(APFKernel, "gather"): staticmethod(identity_gather)})
+
+    def zero_weighted(self, stats, w):
+        return tuple(
+            jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape[:-1], s.dtype), st
+            )
+            for st in stats
+        )
+
+    run_variant("no-weighted-stats", {(APFKernel, "weighted_stats"): zero_weighted})
+
+    def identity_resample(key, w):
+        return jnp.arange(w.shape[-1], dtype=jnp.int32)
+
+    run_variant("no-searchsorted", {(resampling, "systematic"): identity_resample})
+
+    def normal_pred(key, factor, phi):
+        import bipk_tpu.ops.batched_linalg as bla
+        n = factor.row_scale.shape[0]
+        vv = bla.solve_lower_bl(factor.chol, phi)
+        mean = jnp.stack([jnp.sum(factor.white_T0[:, i] * vv, axis=0) for i in range(n)])
+        z = jax.random.normal(key, mean.shape, phi.dtype)
+        return mean + z
+
+    run_variant("no-t-draw", {(mniw, "sample_predictive_bl"): normal_pred})
+
+
+if os.environ.get("ABLATE_EXTRA"):
+    extra_variants()

@@ -201,9 +201,24 @@ class APFKernel:
 
     @staticmethod
     def gather(tree, idx):
-        return jax.tree_util.tree_map(
-            lambda a: jnp.take(a, idx, axis=-1), tree
-        )
+        """Resampling gather along the particle (last) axis.
+
+        XLA lowers gathers of >2-D operands on TPU ~10x slower than 2-D
+        ones (measured 128 of 154 ms/step at N = 131072 in 3-D form vs
+        ~3.5 ms per 210 MB tensor in 2-D form). Leading axes share the
+        physical tile layout with their merged form, so flattening to
+        ``(m*m, N)`` is free — gather there, reshape back.
+        """
+
+        def g(a):
+            if a.ndim <= 2:
+                return jnp.take(a, idx, axis=-1)
+            flat = a.reshape(-1, a.shape[-1])
+            return jnp.take(flat, idx, axis=-1).reshape(
+                a.shape[:-1] + idx.shape
+            )
+
+        return jax.tree_util.tree_map(g, tree)
 
     def weighted_stats(self, stats, weights):
         """Importance-weighted mean of per-particle statistics (host-side

@@ -32,12 +32,15 @@ def main():
     p.add_argument("--pgas-iters", type=int, default=None, help="default 3x gibbs")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--data-dir", default="data")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--out", default="plots/EMPS.mat")
     args = p.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32

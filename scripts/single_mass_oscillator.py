@@ -29,9 +29,12 @@ def main():
     p.add_argument("--t-end", type=float, default=15.0)
     p.add_argument("--quick", action="store_true", help="tiny smoke config")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--out", default="plots/SingleMassOscillator.mat")
     args = p.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32

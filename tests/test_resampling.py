@@ -87,3 +87,29 @@ def test_reconstruct_trajectory_pytree():
     np.testing.assert_allclose(np.asarray(got_a), _host_reconstruct(a, ancestry, 2))
     np.testing.assert_allclose(np.asarray(got_b), _host_reconstruct(b, ancestry, 2))
     assert indices.shape == (T,)
+
+
+def test_systematic_matches_searchsorted_reference():
+    """Scatter-based systematic == searchsorted-based, up to fp ties."""
+    for seed in range(10):
+        key = jax.random.key(seed)
+        w = jax.nn.softmax(jax.random.normal(key, (257,)) * 2.0)
+        a = np.asarray(resampling.systematic(key, w))
+        b = np.asarray(resampling.systematic_searchsorted(key, w))
+        assert np.mean(a != b) < 0.02, (seed, np.mean(a != b))
+        # identical offspring counts (the statistic that matters)
+        ca = np.bincount(a, minlength=257)
+        cb = np.bincount(b, minlength=257)
+        assert np.abs(ca - cb).max() <= 1
+
+
+def test_systematic_degenerate_mass_at_end():
+    w = jnp.zeros(64).at[63].set(1.0)
+    idx = resampling.systematic(jax.random.key(0), w)
+    np.testing.assert_array_equal(np.asarray(idx), 63)
+
+
+def test_systematic_degenerate_mass_at_start():
+    w = jnp.zeros(64).at[0].set(1.0)
+    idx = resampling.systematic(jax.random.key(0), w)
+    np.testing.assert_array_equal(np.asarray(idx), 0)
