@@ -132,15 +132,21 @@ def make_hilbert_basis(
     # sqrt(lambda)_jd = pi j_d / (2 L_d) with L_d the half width
     sqrt_eig = np.pi * index_mat / sizes[None, :]
 
-    sqrt_eig_dev = jnp.asarray(sqrt_eig)
-    centers_dev = jnp.asarray(centers)
-    half_dev = jnp.asarray(half_widths)
-    norm = jnp.prod(jnp.sqrt(1.0 / half_dev))
+    norm_val = float(np.prod(np.sqrt(1.0 / half_widths)))
 
     def eigen_fn(x: jax.Array) -> jax.Array:
+        # constants follow the input dtype so an f32 pipeline stays f32
+        # even when x64 is globally enabled (e.g. in the test process)
         x = jnp.atleast_1d(jnp.asarray(x))
-        shifted = x - centers_dev + half_dev  # position in [0, 2L]
-        return norm * jnp.prod(jnp.sin(sqrt_eig_dev * shifted), axis=-1)
+        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        shifted = (
+            x.astype(dt)
+            - jnp.asarray(centers, dtype=dt)
+            + jnp.asarray(half_widths, dtype=dt)
+        )  # position in [0, 2L]
+        return jnp.asarray(norm_val, dtype=dt) * jnp.prod(
+            jnp.sin(jnp.asarray(sqrt_eig, dtype=dt) * shifted), axis=-1
+        )
 
     density = se_spectral_density(sqrt_eig, magnitude, lengthscale)
     return HilbertBasis(

@@ -165,4 +165,8 @@ def test_sample_parameters_moments():
     # covariance over the column index for row 0
     emp = np.einsum("kij,kil->jl", A_centered, A_centered) / n_draws
     expect = np.trace(expect_S) * np.asarray(col_cov)
-    np.testing.assert_allclose(emp, expect, rtol=8e-2)
+    # inverse-Wishart draws are heavy-tailed; allow MC slack on the
+    # off-diagonal terms
+    np.testing.assert_allclose(
+        emp, expect, rtol=1e-1, atol=0.05 * np.abs(expect).max()
+    )
