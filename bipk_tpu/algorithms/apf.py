@@ -64,11 +64,18 @@ class APFKernel:
     ``int_vars`` tuple of ``(n_i, N)``, ``stats`` tuple of batch-last MNIW.
     """
 
-    def __init__(self, ssm: SSM, gps: Sequence[GPNode], dtype):
+    def __init__(self, ssm: SSM, gps: Sequence[GPNode], dtype, mesh=None):
         self.ssm = ssm
         self.gps = _as_tuple(gps)
         self.n_gp = len(self.gps)
         self.dtype = dtype
+        # GSPMD auto-partitioning over a mesh: pallas_call cannot be
+        # partitioned by the SPMD partitioner, so multi-device meshes take
+        # the XLA fallback kernels
+        self.mesh = mesh
+        self.use_pallas = (
+            False if (mesh is not None and mesh.devices.size > 1) else None
+        )
         self.priors = tuple(gp.prior_as(dtype) for gp in self.gps)
         # batch-last broadcastable priors
         self.priors_bl = tuple(
@@ -160,12 +167,31 @@ class APFKernel:
 
     # -- per-step pieces -------------------------------------------------------
 
+    def constrain(self, tree):
+        """Pin the particle (last) axis sharding under GSPMD."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from bipk_tpu.parallel.mesh import PARTICLE_AXIS
+
+        def c(a):
+            if a.ndim == 0:
+                return a
+            spec = P(*([None] * (a.ndim - 1) + [PARTICLE_AXIS]))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(self.mesh, spec)
+            )
+
+        return jax.tree_util.tree_map(c, tree)
+
     def factorize_all(self, stats):
         return tuple(
             mniw.factorize_bl(
                 jax.tree_util.tree_map(
                     lambda p, s: p + s, self.priors_bl[i], stats[i]
-                )
+                ),
+                use_pallas=self.use_pallas,
             )
             for i in range(self.n_gp)
         )
@@ -175,7 +201,9 @@ class APFKernel:
         aux_state = self.transition_all(state, inp_prev, int_vars)
         aux_iv = tuple(
             mniw.factor_mean_at_bl(
-                factors[i], self.basis_all(i, aux_state, inp_cur)
+                factors[i],
+                self.basis_all(i, aux_state, inp_cur),
+                use_pallas=self.use_pallas,
             )
             for i in range(self.n_gp)
         )
@@ -188,7 +216,10 @@ class APFKernel:
             self.basis_all(i, new_state, inp_cur) for i in range(self.n_gp)
         )
         new_iv = tuple(
-            mniw.sample_predictive_bl(keys[i], factors_res[i], new_basis[i])
+            mniw.sample_predictive_bl(
+                keys[i], factors_res[i], new_basis[i],
+                use_pallas=self.use_pallas,
+            )
             for i in range(self.n_gp)
         )
         return new_iv, new_basis
@@ -237,18 +268,26 @@ def build_apf(
     n_particles: int,
     forgetting_factor: float = 1.0,
     dtype=jnp.float32,
+    mesh=None,
 ) -> Callable:
     """Build the fused online APF sweep.
 
     Returns ``run(key, observations, inputs, init_state_mean,
     init_state_cov) -> APFResult``. Shapes: ``observations (T, dy)``,
-    ``inputs (T, du)`` (``du`` may be 0).
+    ``inputs (T, du)`` (``du`` may be 0). With ``mesh`` the particle axis
+    is sharding-constrained over it and XLA's SPMD partitioner distributes
+    the sweep (exact single-chip semantics, automatic collectives; the
+    hand-written shard_map path in ``bipk_tpu.parallel`` trades exactness
+    of the resampling scheme for lower communication).
     """
-    kern = APFKernel(ssm, gps, dtype)
+    kern = APFKernel(ssm, gps, dtype, mesh=mesh)
     n_gp = kern.n_gp
 
     def step(carry, xs):
         log_weights, state, int_vars, stats = carry
+        log_weights, state, int_vars, stats = kern.constrain(
+            (log_weights, state, int_vars, stats)
+        )
         obs, inp_prev, inp_cur, key = xs
 
         # statistics time update (exponential forgetting)

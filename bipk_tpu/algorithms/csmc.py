@@ -45,6 +45,7 @@ def build_csmc(
     gps: Sequence[GPNode],
     n_particles: int,
     dtype=jnp.float32,
+    mesh=None,
 ) -> Callable:
     """Build the fused conditional-SMC-with-ancestor-sampling sweep.
 
@@ -54,7 +55,7 @@ def build_csmc(
     ``(T, n_i)`` trajectories and ``ref_summed_stats`` the tuple of summed
     MNIW statistics of the reference trajectory.
     """
-    kern = APFKernel(ssm, gps, dtype)
+    kern = APFKernel(ssm, gps, dtype, mesh=mesh)
     n_gp = kern.n_gp
     deterministic = ssm.is_deterministic
     process_chol = kern.process_chol
@@ -104,12 +105,14 @@ def build_csmc(
                     kern.priors_bl[i],
                     ref_bl,
                     stats[i],
-                )
+                ),
+                use_pallas=kern.use_pallas,
             )
             without_future = mniw.log_base_measure_bl(
                 jax.tree_util.tree_map(
                     lambda p, s: p + s, kern.priors_bl[i], stats[i]
-                )
+                ),
+                use_pallas=kern.use_pallas,
             )
             g_diff = g_diff + without_future - with_future
         if deterministic:

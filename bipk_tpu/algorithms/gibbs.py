@@ -60,6 +60,7 @@ def build_gibbs(
     n_iterations: int,
     dtype=jnp.float32,
     fused: bool = True,
+    mesh=None,
 ) -> Callable:
     """Build the marginalized-PGAS Gibbs sampler.
 
@@ -72,7 +73,7 @@ def build_gibbs(
     """
     gps = tuple(gps) if isinstance(gps, (tuple, list)) else (gps,)
     n_gp = len(gps)
-    csmc = build_csmc(ssm, gps, n_particles, dtype=dtype)
+    csmc = build_csmc(ssm, gps, n_particles, dtype=dtype, mesh=mesh)
 
     def sweep(key, observations, inputs, init_mean, init_cov, ref):
         ref_state, ref_iv, ref_stats = ref

