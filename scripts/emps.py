@@ -85,14 +85,23 @@ def main():
     ref_run = apf(key_ref, Y, inputs, model.x0, model.p0)
     ref_state, ref_iv = matio.sample_reference_trajectory(key_traj, ref_run)
 
-    gibbs = jax.jit(
-        build_gibbs(
-            model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs, dtype=dtype
-        )
+    # host-loop mode: one device dispatch per sweep. The fully fused
+    # scan-of-scans is a single multi-minute XLA execution, which exceeds
+    # remote-TPU RPC deadlines at reference-scale iteration counts.
+    gibbs = build_gibbs(
+        model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs,
+        dtype=dtype, fused=False,
     )
     t0 = timelib.perf_counter()
+
+    def progress(k, ref):
+        if k % 100 == 0:
+            print(f"  sweep {k}/{cfg.n_gibbs} "
+                  f"({timelib.perf_counter() - t0:.1f}s)", flush=True)
+
     offline = jax.block_until_ready(
-        gibbs(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+        gibbs(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv,
+              callback=progress)
     )
     print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
 
@@ -121,17 +130,17 @@ def main():
     if not args.skip_baseline:
         print("=== Offline Algorithm (classic PGAS baseline) ===")
         out_chol = model.ssm.output_chol(dtype)
-        pgas = jax.jit(
-            build_pgas(
-                basis_fn=model.baseline_basis_fn,
-                likelihood_fn=lambda obs, x, u: mvn_logpdf_chol(
-                    obs, x[:1], out_chol
-                ),
-                prior=model.baseline_prior,
-                n_particles=cfg.n_particles,
-                n_iterations=args.pgas_iters,
-                dtype=dtype,
-            )
+        # host-loop PGAS (one dispatch per sweep; not jit-wrapped)
+        pgas = build_pgas(
+            basis_fn=model.baseline_basis_fn,
+            likelihood_fn=lambda obs, x, u: mvn_logpdf_chol(
+                obs, x[:1], out_chol
+            ),
+            prior=model.baseline_prior,
+            n_particles=cfg.n_particles,
+            n_iterations=args.pgas_iters,
+            dtype=dtype,
+            fused=False,
         )
         key, key_pgas = jax.random.split(key)
         ref_full = jnp.asarray(data.states, dtype=dtype)

@@ -70,14 +70,23 @@ def main():
     ref_run = apf(key_ref, Y, inputs, model.x0, model.p0)
     ref_state, ref_iv = matio.sample_reference_trajectory(key_traj, ref_run)
 
-    gibbs = jax.jit(
-        build_gibbs(
-            model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs, dtype=dtype
-        )
+    # host-loop mode: one device dispatch per sweep. The fully fused
+    # scan-of-scans is a single multi-minute XLA execution, which exceeds
+    # remote-TPU RPC deadlines at reference-scale iteration counts.
+    gibbs = build_gibbs(
+        model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs,
+        dtype=dtype, fused=False,
     )
     t0 = timelib.perf_counter()
+
+    def progress(k, ref):
+        if k % 100 == 0:
+            print(f"  sweep {k}/{cfg.n_gibbs} "
+                  f"({timelib.perf_counter() - t0:.1f}s)", flush=True)
+
     offline = jax.block_until_ready(
-        gibbs(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+        gibbs(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv,
+              callback=progress)
     )
     print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
 
