@@ -81,15 +81,16 @@ def main():
     r_chol = model.ssm.output_chol(dtype)
     from bipk_tpu.ops.gaussian import mvn_logpdf_chol
 
-    pgas = jax.jit(
-        build_pgas(
-            basis_fn=lambda x, u: model.basis.eigen_fn(x),
-            likelihood_fn=lambda obs, x, u: mvn_logpdf_chol(obs, x, r_chol),
-            prior=model.gp.prior,
-            n_particles=cfg.n_particles,
-            n_iterations=3 * cfg.n_gibbs,
-            dtype=dtype,
-        )
+    # host-loop mode: one dispatch per sweep (the fused scan-of-scans
+    # compiles for minutes at reference-scale iteration counts)
+    pgas = build_pgas(
+        basis_fn=lambda x, u: model.basis.eigen_fn(x),
+        likelihood_fn=lambda obs, x, u: mvn_logpdf_chol(obs, x, r_chol),
+        prior=model.gp.prior,
+        n_particles=cfg.n_particles,
+        n_iterations=3 * cfg.n_gibbs,
+        dtype=dtype,
+        fused=False,
     )
     key, key_p = jax.random.split(key)
     t0 = timelib.perf_counter()
