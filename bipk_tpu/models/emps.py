@@ -111,14 +111,14 @@ def synthesize_measurements(
     torque = 120.0 * np.convolve(raw, kernel / kernel.sum(), mode="same")
     torque = torque / max(1e-9, np.abs(torque).max()) * 120.0
 
-    x = np.zeros(2)
-    qs = np.zeros(n_raw)
-    step = jax.jit(lambda x, tau: linear_transition(x, tau, dt_raw))
-    xs = np.zeros((n_raw, 2))
-    xs[0] = x
-    for i in range(1, n_raw):
-        x = np.asarray(step(jnp.asarray(x), float(torque[i - 1])))
-        xs[i] = x
+    def step(x, tau):
+        nxt = linear_transition(x, tau, dt_raw)
+        return nxt, nxt
+
+    _, traj = jax.jit(
+        lambda tau: jax.lax.scan(step, jnp.zeros(2), tau)
+    )(jnp.asarray(torque[:-1]))
+    xs = np.concatenate([np.zeros((1, 2)), np.asarray(traj)])
     qs = xs[:, 0] + rng.standard_normal(n_raw) * 1e-5
     return t, qs, torque
 

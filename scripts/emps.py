@@ -151,16 +151,38 @@ def main():
         print(f"{args.pgas_iters} PGAS sweeps: {timelib.perf_counter() - t0:.2f}s")
 
         # baseline posterior coefficient mean from trajectory statistics
-        # (parity: /root/reference/EMPS_Simulation.py:101-114)
+        # (parity: /root/reference/EMPS_Simulation.py:101-114). The summed
+        # statistics are MXU matmuls (phi^T phi etc.) accumulated with a
+        # scan over iterations — materializing per-step 729x729 outer
+        # products for 400 iterations would exhaust HBM.
         def traj_stats(traj):
             phi = jax.vmap(model.baseline_basis_fn)(traj[:-1], inputs[:-1])
-            st = jax.vmap(mniw.suff_stat)(traj[1:], phi)
-            return jax.tree_util.tree_map(lambda s: jnp.sum(s, 0), st)
+            y = traj[1:]
+            return mniw.MNIW(
+                phi.T @ y,
+                phi.T @ phi,
+                y.T @ y,
+                jnp.asarray(y.shape[0], dtype=dtype),
+            )
 
-        per_iter = jax.vmap(traj_stats)(jnp.swapaxes(baseline.states, 0, 1))
-        stats_base = jax.tree_util.tree_map(
-            lambda s: jnp.mean(s, axis=0), per_iter
+        k_iters = baseline.states.shape[1]
+
+        def acc(carry, traj):
+            st = traj_stats(traj)
+            return jax.tree_util.tree_map(
+                lambda c, s: c + s / k_iters, carry, st
+            ), None
+
+        n_base = model.config.n_basis_baseline
+        zero = mniw.MNIW(
+            jnp.zeros((n_base, 2), dtype),
+            jnp.zeros((n_base, n_base), dtype),
+            jnp.zeros((2, 2), dtype),
+            jnp.asarray(0.0, dtype),
         )
+        stats_base, _ = jax.jit(
+            lambda trajs: jax.lax.scan(acc, zero, trajs)
+        )(jnp.swapaxes(baseline.states, 0, 1))
         pgas_mean = mniw.posterior_mean(
             jax.tree_util.tree_map(
                 lambda p, s: jnp.asarray(p, dtype=dtype) + s,
