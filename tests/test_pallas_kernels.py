@@ -1,0 +1,92 @@
+"""Pallas kernels vs the portable XLA path (runs only on TPU backends).
+
+The CPU suite exercises the XLA implementations; on TPU hardware this
+module cross-validates every Pallas kernel against them on realistic
+accumulated statistics. The shared conftest pins the suite to CPU, so run
+this module alone with the override:
+
+    BIPK_TPU_TESTS=1 python -m pytest tests/test_pallas_kernels.py -q
+"""
+
+import os
+
+import jax
+
+if os.environ.get("BIPK_TPU_TESTS"):
+    # undo the conftest's CPU pin and virtual-device flags before any
+    # backend initialization (the host-device-count flag breaks the
+    # remote TPU compile helper)
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = " ".join(
+        f for f in flags.split() if "host_platform_device_count" not in f
+    )
+    jax.config.update("jax_platforms", None)
+    # production TPU runs are f32; x64 (enabled by the shared conftest)
+    # breaks Mosaic lowering of the kernels
+    jax.config.update("jax_enable_x64", False)
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bipk_tpu.ops import mniw
+
+
+def _tpu_available():
+    if not os.environ.get("BIPK_TPU_TESTS"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _tpu_available(), reason="Pallas kernels require a TPU backend"
+)
+
+
+@pytest.fixture(scope="module")
+def nat_bl():
+    key = jax.random.key(0)
+    N, m, n = 1000, 20, 1
+    phis = jax.random.normal(key, (N, 30, m), dtype=jnp.float32)
+    ys = jax.random.normal(jax.random.key(1), (N, 30, n), dtype=jnp.float32)
+    st = jax.jit(jax.vmap(jax.vmap(mniw.suff_stat)))(ys, phis)
+    summed = jax.tree_util.tree_map(lambda s: jnp.sum(s, axis=1), st)
+    prior = mniw.natural_from_standard(
+        np.zeros((n, m), np.float32),
+        np.eye(m, dtype=np.float32) * 2.0,
+        np.eye(n, dtype=np.float32) * 1.5,
+        5.0,
+    )
+    nat = jax.tree_util.tree_map(
+        lambda p, s: p.astype(jnp.float32) + s, prior, summed
+    )
+    return mniw.to_batch_last(nat)
+
+
+def test_factorize_matches_xla(nat_bl):
+    f_x = jax.jit(lambda n: mniw.factorize_bl(n, use_pallas=False))(nat_bl)
+    f_p = jax.jit(lambda n: mniw.factorize_bl(n, use_pallas=True))(nat_bl)
+    np.testing.assert_allclose(f_p.chol, f_x.chol, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(f_p.white_T0, f_x.white_T0, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(f_p.row_scale, f_x.row_scale, rtol=1e-3, atol=1e-4)
+
+
+def test_projection_matches_xla(nat_bl):
+    f = jax.jit(lambda n: mniw.factorize_bl(n, use_pallas=True))(nat_bl)
+    phi = jax.random.normal(jax.random.key(2), (20, 1000), dtype=jnp.float32)
+    m_x = jax.jit(
+        lambda f, p: mniw.factor_mean_at_bl(f, p, use_pallas=False)
+    )(f, phi)
+    m_p = jax.jit(
+        lambda f, p: mniw.factor_mean_at_bl(f, p, use_pallas=True)
+    )(f, phi)
+    np.testing.assert_allclose(m_p, m_x, rtol=1e-4, atol=1e-4)
+
+
+def test_log_base_measure_matches_xla(nat_bl):
+    l_x = jax.jit(lambda n: mniw.log_base_measure_bl(n, use_pallas=False))(nat_bl)
+    l_p = jax.jit(lambda n: mniw.log_base_measure_bl(n, use_pallas=True))(nat_bl)
+    np.testing.assert_allclose(l_p, l_x, rtol=1e-4, atol=2e-2)
