@@ -9,12 +9,17 @@ form is available for batched use).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from bipk_tpu.ops import batched_linalg as bla
 
-_LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+# math, not jnp: evaluating a jnp expression at module scope would initialize
+# the JAX backend as an import side effect, breaking embedders that need to
+# configure the platform (e.g. force a virtual CPU mesh) before first use.
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 def mvn_logpdf_chol(x, mean, chol_cov) -> jax.Array:
