@@ -194,7 +194,22 @@ def build_gibbs(
         init_ref_state,
         init_ref_int_vars,
         callback=None,
+        checkpoint_path=None,
+        checkpoint_every=50,
     ):
+        """Host-loop sampler with optional crash-safe checkpoint/resume.
+
+        With ``checkpoint_path`` set, the full chain state — iteration
+        index, *current* RNG key, reference draw, and accumulated traces —
+        is saved every ``checkpoint_every`` sweeps, and an existing file at
+        that path resumes the chain exactly: a resumed run is bitwise
+        identical to an uninterrupted one (the carried key is snapshotted
+        after the last completed sweep, so the key stream continues rather
+        than replays). The reference has no persistence at all until its
+        final ``savemat`` (SURVEY.md §5).
+        """
+        from bipk_tpu.utils import checkpoint as ckpt
+
         observations, inputs, ref = prepare(
             observations, inputs, init_ref_state, init_ref_int_vars
         )
@@ -202,7 +217,42 @@ def build_gibbs(
         states = [ref[0]]
         ivs = [ref[1]]
         stats = [ref[2]]
-        for k in range(1, n_iterations):
+        start = 1
+        if checkpoint_path is not None:
+            if checkpoint_every <= 0:
+                raise ValueError(
+                    f"checkpoint_every must be positive, got {checkpoint_every}"
+                )
+            restored = ckpt.load(checkpoint_path)
+            if restored is not None:
+                step, key, payload = restored
+                if step >= n_iterations:
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path!r} is at iteration "
+                        f"{step} but this sampler runs only {n_iterations} "
+                        f"iterations; it belongs to a different run — "
+                        f"delete it or point --checkpoint elsewhere"
+                    )
+                ref = payload["ref"]
+                if jnp.asarray(payload["states"][0]).shape[0] != (
+                    observations.shape[0]
+                ):
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path!r} trajectory length "
+                        f"{jnp.asarray(payload['states'][0]).shape[0]} does "
+                        f"not match this run's {observations.shape[0]} steps;"
+                        f" it belongs to a different run"
+                    )
+                states = list(payload["states"])
+                ivs = list(payload["ivs"])
+                stats = list(payload["stats"])
+                start = step + 1
+                print(
+                    f"resuming Gibbs chain from {checkpoint_path} at "
+                    f"sweep {start}/{n_iterations}",
+                    flush=True,
+                )
+        for k in range(start, n_iterations):
             key, key_k = jax.random.split(key)
             ref = jit_sweep(
                 key_k,
@@ -217,6 +267,14 @@ def build_gibbs(
             stats.append(ref[2])
             if callback is not None:
                 callback(k, ref)
+            if checkpoint_path is not None and k % checkpoint_every == 0:
+                ckpt.save(
+                    checkpoint_path,
+                    k,
+                    key,
+                    {"ref": ref, "states": states, "ivs": ivs,
+                     "stats": stats},
+                )
         states_kt = jnp.stack(states)
         iv_kt = tuple(jnp.stack([v[i] for v in ivs]) for i in range(n_gp))
         stats_k = tuple(

@@ -41,13 +41,17 @@ def load(path: str):
 
 
 class PeriodicCheckpointer:
-    """Callback for host-loop samplers: saves every ``every`` iterations."""
+    """Callback for host-loop samplers: saves every ``every`` iterations.
 
-    def __init__(self, path: str, key, every: int = 50):
+    The *current* RNG key must be passed on every call — snapshotting a
+    fixed key at construction would make a resumed run replay the RNG
+    stream from the start of the chain instead of continuing it.
+    """
+
+    def __init__(self, path: str, every: int = 50):
         self.path = path
         self.every = every
-        self.key = key
 
-    def __call__(self, step: int, payload: Any) -> None:
+    def __call__(self, step: int, key, payload: Any) -> None:
         if step % self.every == 0:
-            save(self.path, step, self.key, payload)
+            save(self.path, step, key, payload)

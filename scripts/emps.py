@@ -36,6 +36,9 @@ def main():
     p.add_argument("--data-dir", default="data")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="crash-safe Gibbs checkpoint; resumes if it exists")
+    p.add_argument("--checkpoint-every", type=int, default=50)
     p.add_argument("--out", default="plots/EMPS.mat")
     args = p.parse_args()
 
@@ -101,7 +104,9 @@ def main():
 
     offline = jax.block_until_ready(
         gibbs(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv,
-              callback=progress)
+              callback=progress,
+              checkpoint_path=args.checkpoint,
+              checkpoint_every=args.checkpoint_every)
     )
     print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
 

@@ -30,6 +30,9 @@ def main():
     p.add_argument("--quick", action="store_true", help="tiny smoke config")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="crash-safe Gibbs checkpoint; resumes if it exists")
+    p.add_argument("--checkpoint-every", type=int, default=50)
     p.add_argument("--out", default="plots/SingleMassOscillator.mat")
     args = p.parse_args()
 
@@ -86,7 +89,9 @@ def main():
 
     offline = jax.block_until_ready(
         gibbs(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv,
-              callback=progress)
+              callback=progress,
+              checkpoint_path=args.checkpoint,
+              checkpoint_every=args.checkpoint_every)
     )
     print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
 

@@ -34,20 +34,27 @@ def test_load_missing_returns_none(tmp_path):
 
 def test_periodic_checkpointer(tmp_path):
     path = str(tmp_path / "p.pkl")
-    cb = checkpoint.PeriodicCheckpointer(path, jax.random.key(0), every=3)
+    cb = checkpoint.PeriodicCheckpointer(path, every=3)
+    key = jax.random.key(0)
     for k in range(1, 8):
-        cb(k, {"k": jnp.asarray(k)})
-    step, _, payload = checkpoint.load(path)
+        key, _ = jax.random.split(key)  # evolving chain key
+        cb(k, key, {"k": jnp.asarray(k)})
+    step, saved_key, payload = checkpoint.load(path)
     assert step == 6  # last multiple of 3
     assert int(payload["k"]) == 6
+    # the saved key is the CURRENT key at step 6, not the initial one
+    expect = jax.random.key(0)
+    for _ in range(6):
+        expect, _ = jax.random.split(expect)
+    np.testing.assert_array_equal(
+        jax.random.key_data(saved_key), jax.random.key_data(expect)
+    )
 
 
-def test_gibbs_host_loop_with_checkpointing(tmp_path):
-    """The host-loop Gibbs sampler drives the checkpoint callback."""
-    from bipk_tpu.algorithms import build_gibbs
+def _toy_gibbs_setup():
+    from bipk_tpu.algorithms import build_apf, build_gibbs
     from bipk_tpu.models import toy
     from bipk_tpu.utils.matio import sample_reference_trajectory
-    from bipk_tpu.algorithms import build_apf
 
     cfg = toy.ToyConfig(n_particles=40, n_steps=15)
     model = toy.make_model(cfg)
@@ -61,15 +68,67 @@ def test_gibbs_host_loop_with_checkpointing(tmp_path):
     key, key_a, key_t = jax.random.split(key, 3)
     res = apf(key_a, Y, inputs, model.x0, model.p0)
     ref_state, ref_iv = sample_reference_trajectory(key_t, res)
-
     run = build_gibbs(
-        model.ssm, (model.gp,), 40, 6, dtype=jnp.float64, fused=False
+        model.ssm, (model.gp,), 40, 8, dtype=jnp.float64, fused=False
     )
+    return run, key, Y, inputs, model, ref_state, ref_iv
+
+
+def test_gibbs_host_loop_writes_checkpoints(tmp_path):
+    """The host-loop Gibbs sampler checkpoints its full chain state."""
+    run, key, Y, inputs, model, ref_state, ref_iv = _toy_gibbs_setup()
     path = str(tmp_path / "gibbs.pkl")
-    cb = checkpoint.PeriodicCheckpointer(path, key, every=2)
-    out = run(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv, callback=cb)
-    assert out.states.shape == (15, 6, 1)
+    out = run(
+        key, Y, inputs, model.x0, model.p0, ref_state, ref_iv,
+        checkpoint_path=path, checkpoint_every=2,
+    )
+    assert out.states.shape == (15, 8, 1)
     step, _, payload = checkpoint.load(path)
-    assert step == 4
-    # payload carries the (state traj, iv trajs, summed stats) draw
-    assert np.asarray(payload[0]).shape == (15, 1)
+    assert step == 6  # last multiple of 2 before the final iteration (7)
+    assert np.asarray(payload["ref"][0]).shape == (15, 1)
+    assert len(payload["states"]) == 7  # init draw + 6 sweeps
+
+
+def test_gibbs_resume_continues_chain_exactly(tmp_path):
+    """Kill mid-run, resume, and the chain CONTINUES (not replays):
+
+    the resumed run must be bitwise identical to an uninterrupted run,
+    which requires the checkpoint to carry the post-sweep RNG key.
+    """
+    run, key, Y, inputs, model, ref_state, ref_iv = _toy_gibbs_setup()
+
+    full = run(key, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+
+    path = str(tmp_path / "crash.pkl")
+    calls = {"n": 0}
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_at_5(k, ref):
+        calls["n"] = k
+        if k == 5:
+            raise Boom()
+
+    try:
+        run(
+            key, Y, inputs, model.x0, model.p0, ref_state, ref_iv,
+            callback=crash_at_5, checkpoint_path=path, checkpoint_every=2,
+        )
+        raise AssertionError("expected simulated crash")
+    except Boom:
+        pass
+    assert calls["n"] == 5
+    step, _, _ = checkpoint.load(path)
+    assert step == 4  # last checkpoint before the crash
+
+    resumed = run(
+        key, Y, inputs, model.x0, model.p0, ref_state, ref_iv,
+        checkpoint_path=path, checkpoint_every=2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.states), np.asarray(full.states)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.log_likelihood), np.asarray(full.log_likelihood)
+    )
