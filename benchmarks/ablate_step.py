@@ -55,7 +55,7 @@ def main():
     run_variant("full", {})
 
     # t-draw -> plain normal draw
-    def normal_pred(key, factor, phi):
+    def normal_pred(key, factor, phi, use_pallas=None):
         n = factor.row_scale.shape[0]
         v = jax.scipy.linalg.solve_triangular  # noqa: placeholder unused
         import bipk_tpu.ops.batched_linalg as bla
@@ -78,7 +78,7 @@ def main():
     # no factorization (identity factor)
     real_factorize = mniw.factorize_bl
 
-    def cheap_factorize(nat, jitter=None):
+    def cheap_factorize(nat, jitter=None, use_pallas=None):
         m = nat.T1.shape[0]
         eye = jnp.broadcast_to(
             jnp.eye(m, dtype=nat.T1.dtype)[:, :, None], nat.T1.shape
@@ -159,3 +159,79 @@ def extra_variants():
 
 if os.environ.get("ABLATE_EXTRA"):
     extra_variants()
+
+
+def fine_variants():
+    """Finer ablations: scale pass, weighted emission, basis eval, aux."""
+    cfg = veh.VehicleConfig(t_end=4.0)
+    model = veh.make_model(cfg)
+    key = jax.random.key(0)
+    key, ks = jax.random.split(key)
+    _, Y, _, _, inputs = veh.simulate(ks, cfg, dtype=jnp.float32)
+    T = Y.shape[0]
+    x0 = jnp.asarray(model.x0, jnp.float32)
+    p0 = jnp.asarray(model.p0, jnp.float32)
+    from bipk_tpu.algorithms.apf import APFKernel
+
+    def run_variant(name, patches):
+        saved = {}
+        for (obj, attr), repl in patches.items():
+            saved[(obj, attr)] = (
+                obj.__dict__[attr] if isinstance(obj, type) else getattr(obj, attr)
+            )
+            setattr(obj, attr, repl)
+        try:
+            run = jax.jit(apf.build_apf(model.ssm, model.gps, N, 0.999, dtype=jnp.float32))
+            out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
+            rt = time.perf_counter() - t0
+            print(f"{name}: {rt/(T-1)*1e3:.2f} ms/step ({N*(T-1)/rt/1e6:.2f}M psps)", flush=True)
+        finally:
+            for k, v in saved.items():
+                setattr(k[0], k[1], v)
+
+    run_variant("full", {})
+
+    # no forgetting-scale pass
+    saved_scale = mniw.MNIW.scale
+    run_variant("no-scale-pass", {(mniw.MNIW, "scale"): lambda self, f: self})
+
+    # no weighted-stats emission
+    run_variant(
+        "no-weighted-emit",
+        {(APFKernel, "weighted_stats"): lambda self, st, w: tuple(
+            jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape[:-1], s.dtype), s_)
+            for s_ in st
+        )},
+    )
+
+    # trivial basis fns (zeros)
+    run_variant(
+        "no-basis",
+        {(APFKernel, "basis_all"): lambda self, i, state, inp: jnp.zeros(
+            (self.gps[i].prior.T1.shape[0], state.shape[-1]), self.dtype
+        )},
+    )
+
+    # no stats update (gather only)
+    run_variant(
+        "no-stats-update",
+        {(APFKernel, "update_stats"): lambda self, st, iv, basis: st},
+    )
+
+    # no auxiliary factor-mean projection (zeros aux iv)
+    saved_aux = APFKernel.auxiliary
+    def aux_no_mean(self, state, int_vars, factors, inp_prev, inp_cur, obs, log_weights):
+        aux_state = self.transition_all(state, inp_prev, int_vars)
+        aux_iv = tuple(
+            jnp.zeros((self.gps[i].prior.T0.shape[1], state.shape[-1]), self.dtype)
+            for i in range(self.n_gp)
+        )
+        ll_aux = self.log_lik_all(obs, aux_state, inp_cur, aux_iv)
+        return aux_state, aux_iv, ll_aux + log_weights, ll_aux
+    run_variant("no-aux-proj", {(APFKernel, "auxiliary"): aux_no_mean})
+
+
+if __name__ == "__main__" and os.environ.get("ABLATE_FINE"):
+    fine_variants()

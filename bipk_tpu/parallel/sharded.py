@@ -7,13 +7,22 @@ parallel. Communication points and their collectives:
 - weight normalization / ESS: ``pmax`` + ``psum`` (scalars),
 - per-step weighted statistics / moment reductions: ``psum`` of local
   contraction partials (a few KB),
-- resampling: **local systematic resampling with global weight
-  normalization** — each shard resamples its own slice from locally
-  renormalized weights and carries the shard's global mass as a log-weight
-  offset, so no particle payloads cross chips. This changes the resampling
-  semantics vs the reference's global systematic ``searchsorted``
-  (``/root/reference/src/Filtering.py:28-35``) but keeps the estimator
-  unbiased; the single-chip path reproduces the exact global scheme.
+- resampling, selectable per build:
+
+  * ``"local"`` (default): **local systematic resampling with global
+    weight normalization** — each shard resamples its own slice from
+    locally renormalized weights and carries the shard's global mass as a
+    log-weight offset, so no particle payloads cross chips. This changes
+    the resampling semantics vs the reference's global systematic
+    ``searchsorted`` (``/root/reference/src/Filtering.py:28-35``) but
+    keeps the estimator unbiased.
+  * ``"exact"``: **exact global systematic resampling** — reproduces the
+    reference's single-device scheme bit-for-bit on the mesh (shared
+    stratification offset, global CDF, sorted global ancestors) and moves
+    ancestor payloads between chips with a ring of ``ppermute`` rotations
+    (see :mod:`bipk_tpu.parallel.global_resampling`). Costs one full
+    payload rotation per step; use when statistical parity with the
+    single-chip path matters more than ICI traffic.
 
 Per-particle tensors are batch-last (lanes = particles, see
 ``bipk_tpu.algorithms.apf``). Traces reduce to weighted moments on the fly
@@ -33,6 +42,7 @@ from jax.experimental.shard_map import shard_map
 from bipk_tpu.algorithms.apf import APFKernel
 from bipk_tpu.models.ssm import GPNode, SSM
 from bipk_tpu.ops import mniw, resampling
+from bipk_tpu.parallel import global_resampling
 from bipk_tpu.parallel.mesh import PARTICLE_AXIS
 
 
@@ -61,14 +71,21 @@ def build_sharded_apf(
     mesh: Mesh,
     forgetting_factor: float = 1.0,
     dtype=jnp.float32,
+    resampling_scheme: str = "local",
 ):
     """Build the particle-sharded online APF sweep.
 
     Returns ``run(key, observations, inputs, init_state_mean,
     init_state_cov) -> ShardedAPFResult``; semantics follow
     ``bipk_tpu.algorithms.apf`` (Algorithm 1) with the sharded resampling
-    scheme described in the module docstring.
+    scheme described in the module docstring (``resampling_scheme`` is
+    ``"local"`` or ``"exact"``).
     """
+    if resampling_scheme not in ("local", "exact"):
+        raise ValueError(
+            f"resampling_scheme must be 'local' or 'exact', "
+            f"got {resampling_scheme!r}"
+        )
     kern = APFKernel(ssm, gps, dtype)
     n_gp = kern.n_gp
     n_dev = mesh.devices.size
@@ -101,18 +118,28 @@ def build_sharded_apf(
         return sm, ivm, stm, ess
 
     def sweep(key, observations, inputs, init_mean, init_cov):
-        """Per-shard body (runs under shard_map)."""
+        """Per-shard body (runs under shard_map).
+
+        Key discipline: per-step keys in the scan are **shared** across
+        shards (the exact scheme needs an identical stratification offset
+        everywhere); anything drawing shard-local randomness folds in the
+        shard index first.
+        """
         shard = jax.lax.axis_index(PARTICLE_AXIS)
-        key = jax.random.fold_in(key, shard)
 
         key, key_init = jax.random.split(key)
         log_weights, state, int_vars, stats = kern.init_particles(
-            key_init, n_loc, inputs[0], init_mean, init_cov
+            jax.random.fold_in(key_init, shard), n_loc,
+            inputs[0], init_mean, init_cov,
         )
 
         def step(carry, xs):
             log_weights, state, int_vars, stats = carry
-            obs, inp_prev, inp_cur, key = xs
+            obs, inp_prev, inp_cur, key = xs  # key: shared across shards
+            key_res, key_draws = jax.random.split(key)
+            key_state, key_iv = jax.random.split(
+                jax.random.fold_in(key_draws, shard)
+            )
 
             stats = tuple(st.scale(forgetting_factor) for st in stats)
             factors = kern.factorize_all(stats)
@@ -120,33 +147,41 @@ def build_sharded_apf(
                 state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
             )
 
-            # global normalization; local systematic resampling
             w_global = _global_softmax(lw_aux)
-            shard_mass = jnp.sum(w_global)
-            w_local = w_global / jnp.maximum(shard_mass, 1e-30)
-            key, key_res = jax.random.split(key)
-            ancestors = resampling.systematic(key_res, w_local)
-            offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
+            if resampling_scheme == "exact":
+                # exact global systematic resampling + ring payload fetch
+                anc = global_resampling.global_systematic_slice(
+                    key_res, w_global, PARTICLE_AXIS, n_dev
+                )
+                state_r, iv_r, factors_r, stats_r, ll_aux_r = (
+                    global_resampling.ring_redistribute(
+                        (state, int_vars, factors, stats, ll_aux),
+                        anc, PARTICLE_AXIS, n_dev,
+                    )
+                )
+                offset = jnp.zeros((), dtype=ll_aux.dtype)
+            else:
+                # local systematic resampling on globally normalized mass
+                shard_mass = jnp.sum(w_global)
+                w_local = w_global / jnp.maximum(shard_mass, 1e-30)
+                ancestors = resampling.systematic(
+                    jax.random.fold_in(key_res, shard), w_local
+                )
+                state_r = kern.gather(state, ancestors)
+                iv_r = kern.gather(int_vars, ancestors)
+                factors_r = kern.gather(factors, ancestors)
+                stats_r = kern.gather(stats, ancestors)
+                ll_aux_r = ll_aux[ancestors]
+                offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
 
-            key, key_state = jax.random.split(key)
-            new_state = kern.propagate_all(
-                key_state,
-                kern.gather(state, ancestors),
-                inp_prev,
-                kern.gather(int_vars, ancestors),
-            )
-
-            key, key_iv = jax.random.split(key)
-            factors_res = kern.gather(factors, ancestors)
+            new_state = kern.propagate_all(key_state, state_r, inp_prev, iv_r)
             new_iv, new_basis = kern.draw_int_vars(
-                key_iv, factors_res, new_state, inp_cur
+                key_iv, factors_r, new_state, inp_cur
             )
-            new_stats = kern.update_stats(
-                kern.gather(stats, ancestors), new_iv, new_basis
-            )
+            new_stats = kern.update_stats(stats_r, new_iv, new_basis)
 
             ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
-            new_log_weights = ll_new - ll_aux[ancestors] + offset
+            new_log_weights = ll_new - ll_aux_r + offset
 
             w_new = _global_softmax(new_log_weights)
             moments = reduce_moments(w_new, new_state, new_iv, new_stats)

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="crash-safe Gibbs checkpoint; resumes if it exists")
     p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--plot-grid", type=int, default=50,
+                   help="points per axis of the X_plot evaluation grid")
     p.add_argument("--out", default="plots/SingleMassOscillator.mat")
     args = p.parse_args()
 
@@ -96,8 +98,8 @@ def main():
     print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
 
     # plotting grids (parity: SingleMassOscillator_Simulation.py:80-91)
-    x_plt = np.linspace(-3.5, 3.5, 50)
-    dx_plt = np.linspace(-3.5, 3.5, 50)
+    x_plt = np.linspace(-3.5, 3.5, args.plot_grid)
+    dx_plt = np.linspace(-3.5, 3.5, args.plot_grid)
     grid_x, grid_y = np.meshgrid(x_plt, dx_plt, indexing="xy")
     X_plot = np.vstack([grid_x.flatten(), grid_y.flatten()]).T
     basis_plot = jax.vmap(model.basis.eigen_fn)(jnp.asarray(X_plot))

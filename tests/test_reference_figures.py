@@ -1,0 +1,135 @@
+"""The reference ``*_Figures.py`` scripts run UNCHANGED on our ``.mat`` files.
+
+This is the strong form of the output-contract claim: not key-set equality
+(``test_matio.py``) but actual execution of the untouched reference figure
+scripts (``/root/reference/{SingleMassOscillator,VehicleSimulation,EMPS}_
+Figures.py``) against ``.mat`` files produced by this framework's entry
+scripts, asserting every expected PDF is rendered.
+
+The SMO test always runs (tiny config). The vehicle/EMPS tests cover the
+same contract machinery at a few extra minutes each on the CI host; gate
+them with ``BIPK_REF_FIGURE_TESTS=1`` (they were executed and passed when
+this file was committed — see PARITY.md).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+DRIVER = os.path.join(REPO, "tests", "_ref_fig_driver.py")
+
+run_gated = pytest.mark.skipif(
+    os.environ.get("BIPK_REF_FIGURE_TESTS") != "1",
+    reason="multi-minute reference-figure run; set BIPK_REF_FIGURE_TESTS=1",
+)
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # the generator subprocess must not inherit pytest's virtual-device
+    # flags; figure scripts run on default CPU with the reference's x64
+    env.pop("JAX_PLATFORMS", None)
+    env["MPLBACKEND"] = "Agg"
+    return env
+
+
+def _generate(tmp_path, script, extra):
+    out = tmp_path / "plots"
+    out.mkdir(exist_ok=True)
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", script),
+        "--cpu",
+        *extra,
+    ]
+    res = subprocess.run(
+        cmd, cwd=tmp_path, env=_clean_env(), capture_output=True, text=True,
+        timeout=1500,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+
+
+def _run_figures(tmp_path, fig_script, expected_pdfs):
+    res = subprocess.run(
+        [sys.executable, DRIVER, os.path.join(REF, fig_script)],
+        cwd=tmp_path,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    for pdf in expected_pdfs:
+        path = tmp_path / "plots" / pdf
+        assert path.exists() and path.stat().st_size > 0, pdf
+
+
+def test_smo_reference_figures_run_unchanged(tmp_path):
+    _generate(
+        tmp_path,
+        "single_mass_oscillator.py",
+        ["--particles", "30", "--gibbs-iters", "6", "--t-end", "0.5",
+         "--plot-grid", "12", "--out", "plots/SingleMassOscillator.mat"],
+    )
+    _run_figures(
+        tmp_path,
+        "SingleMassOscillator_Figures.py",
+        [
+            "SingleMassOscillator_PGAS_X.pdf",
+            "SingleMassOscillator_PGAS_Fsd_fcn_0.pdf",
+            "SingleMassOscillator_PGAS_Fsd_fcn_1.pdf",
+            "SingleMassOscillator_PGAS_Fsd_wRMSE.pdf",
+            "SingleMassOscillator_APF_X.pdf",
+            "SingleMassOscillator_APF_Fsd_fcn_0.pdf",
+            "SingleMassOscillator_APF_Fsd_fcn_1.pdf",
+            "SingleMassOscillator_APF_Fsd_wRMSE.pdf",
+        ],
+    )
+
+
+@run_gated
+def test_vehicle_reference_figures_run_unchanged(tmp_path):
+    _generate(
+        tmp_path,
+        "vehicle.py",
+        ["--particles", "30", "--gibbs-iters", "6", "--t-end", "0.5",
+         "--out", "plots/Vehicle.mat"],
+    )
+    _run_figures(
+        tmp_path,
+        "VehicleSimulation_Figures.py",
+        [
+            "Vehicle_PGAS_X.pdf",
+            "Vehicle_PGAS_muf_fcn_0.pdf",
+            "Vehicle_PGAS_muf_wRMSE.pdf",
+            "Vehicle_APF_X.pdf",
+            "Vehicle_APF_muf_fcn_0.pdf",
+            "Vehicle_APF_muf_wRMSE.pdf",
+        ],
+    )
+
+
+@run_gated
+def test_emps_reference_figures_run_unchanged(tmp_path):
+    _generate(
+        tmp_path,
+        "emps.py",
+        ["--particles", "30", "--gibbs-iters", "6", "--max-steps", "40",
+         "--skip-baseline", "--out", "plots/EMPS.mat"],
+    )
+    _run_figures(
+        tmp_path,
+        "EMPS_Figures.py",
+        [
+            "EMPS_PGAS_X.pdf",
+            "EMPS_PGAS_F_fcn_0.pdf",
+            "EMPS_PGAS_RMSE.pdf",
+            "EMPS_APF_X.pdf",
+            "EMPS_APF_F_fcn_0.pdf",
+            "EMPS_APF_F_wRMSE.pdf",
+        ],
+    )
