@@ -76,16 +76,17 @@ def main():
     run_variant("no-resample", {(resampling, "systematic"): identity_resample})
 
     # no factorization (identity factor)
-    real_factorize = mniw.factorize_bl
-
-    def cheap_factorize(nat, jitter=None, use_pallas=None):
-        m = nat.T1.shape[0]
+    def cheap_factorize(stats, prior=None, lam=1.0, jitter=None,
+                        use_pallas=None):
+        m = stats.T1.shape[0]
         eye = jnp.broadcast_to(
-            jnp.eye(m, dtype=nat.T1.dtype)[:, :, None], nat.T1.shape
+            jnp.eye(m, dtype=stats.T1.dtype)[:, :, None], stats.T1.shape
         )
-        return mniw.MNIWFactor(eye, nat.T0, nat.T2, nat.T3)
+        return mniw.MNIWFactor(eye, stats.T0, stats.T2, stats.T3)
 
-    run_variant("no-factorize", {(mniw, "factorize_bl"): cheap_factorize})
+    run_variant(
+        "no-factorize", {(mniw, "factorize_scaled_bl"): cheap_factorize}
+    )
 
 
 if __name__ == "__main__" and not os.environ.get("ABLATE_EXTRA"):

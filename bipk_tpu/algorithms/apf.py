@@ -185,12 +185,12 @@ class APFKernel:
 
         return jax.tree_util.tree_map(c, tree)
 
-    def factorize_all(self, stats):
+    def factorize_all(self, stats, lam: float = 1.0):
+        """Factor ``prior + lam * stats`` per GP in one fused pass (the
+        forgetting scale and prior addition never hit HBM)."""
         return tuple(
-            mniw.factorize_bl(
-                jax.tree_util.tree_map(
-                    lambda p, s: p + s, self.priors_bl[i], stats[i]
-                ),
+            mniw.factorize_scaled_bl(
+                stats[i], prior=self.priors[i], lam=lam,
                 use_pallas=self.use_pallas,
             )
             for i in range(self.n_gp)
@@ -224,9 +224,20 @@ class APFKernel:
         )
         return new_iv, new_basis
 
-    def update_stats(self, stats_res, new_iv, new_basis):
+    def update_stats(self, stats_res, new_iv, new_basis, lam: float = 1.0):
+        """Rank-1 statistics update ``lam * stats + suff_stat`` (the
+        forgetting scale fuses into the existing read-modify-write)."""
+        if lam == 1.0:
+            return tuple(
+                stats_res[i] + mniw.suff_stat_bl(new_iv[i], new_basis[i])
+                for i in range(self.n_gp)
+            )
         return tuple(
-            stats_res[i] + mniw.suff_stat_bl(new_iv[i], new_basis[i])
+            jax.tree_util.tree_map(
+                lambda s, d: s * lam + d,
+                stats_res[i],
+                mniw.suff_stat_bl(new_iv[i], new_basis[i]),
+            )
             for i in range(self.n_gp)
         )
 
@@ -250,6 +261,38 @@ class APFKernel:
             )
 
         return jax.tree_util.tree_map(g, tree)
+
+    @staticmethod
+    def packed_gather(tree, idx):
+        """Resampling gather of a whole pytree with ONE TPU gather op.
+
+        Each gather on TPU is a dynamic cross-lane shuffle whose cost is
+        dominated by a per-op floor (~0.26 ms at N = 32768 on v5e even for
+        a (N,) vector), so the ~20 separate per-leaf gathers of a filter
+        step cost far more than their bytes. Flatten every leaf to rows,
+        concatenate into one (K, N) matrix, gather once, split back.
+        Profiled on the vehicle APF: 9.2 -> ~5 ms/step at N = 32768.
+        """
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        n = leaves[0].shape[-1]
+        rows = [
+            leaf.reshape((-1, n)) if leaf.ndim != 2 else leaf
+            for leaf in leaves
+        ]
+        sizes = [r.shape[0] for r in rows]
+        packed = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+        took = jnp.take(packed, idx, axis=-1)
+        offsets = []
+        total = 0
+        for s in sizes[:-1]:
+            total += s
+            offsets.append(total)
+        parts = jnp.split(took, offsets, axis=0) if offsets else [took]
+        outs = [
+            p.reshape(leaf.shape[:-1] + idx.shape)
+            for p, leaf in zip(parts, leaves)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, outs)
 
     def weighted_stats(self, stats, weights):
         """Importance-weighted mean of per-particle statistics (host-side
@@ -290,9 +333,10 @@ def build_apf(
         )
         obs, inp_prev, inp_cur, key = xs
 
-        # statistics time update (exponential forgetting)
-        stats = tuple(st.scale(forgetting_factor) for st in stats)
-        factors = kern.factorize_all(stats)
+        # statistics time update (exponential forgetting) fused into the
+        # factorization and the later rank-1 update — the carried stats are
+        # scaled lazily, never in a standalone HBM pass
+        factors = kern.factorize_all(stats, forgetting_factor)
 
         aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
             state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
@@ -301,25 +345,30 @@ def build_apf(
         key, key_res = jax.random.split(key)
         ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
 
-        key, key_state = jax.random.split(key)
-        new_state = kern.propagate_all(
-            key_state,
-            kern.gather(state, ancestors),
-            inp_prev,
-            kern.gather(int_vars, ancestors),
+        # one fused gather for every per-particle payload (see
+        # packed_gather: separate gathers are per-op latency-bound on TPU).
+        # The post-resampling factors are NOT gathered: they are a
+        # deterministic function of the gathered statistics, and
+        # re-factorizing (one cheap fused kernel) costs less than moving
+        # the factor payload through the gather.
+        state_g, iv_g, stats_g, ll_aux_g = kern.packed_gather(
+            (state, int_vars, stats, ll_aux), ancestors
         )
+        factors_res = kern.factorize_all(stats_g, forgetting_factor)
+
+        key, key_state = jax.random.split(key)
+        new_state = kern.propagate_all(key_state, state_g, inp_prev, iv_g)
 
         key, key_iv = jax.random.split(key)
-        factors_res = kern.gather(factors, ancestors)
         new_iv, new_basis = kern.draw_int_vars(
             key_iv, factors_res, new_state, inp_cur
         )
         new_stats = kern.update_stats(
-            kern.gather(stats, ancestors), new_iv, new_basis
+            stats_g, new_iv, new_basis, forgetting_factor
         )
 
         ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
-        new_log_weights = ll_new - ll_aux[ancestors]
+        new_log_weights = ll_new - ll_aux_g
 
         norm_w = jax.nn.softmax(new_log_weights)
         emits = (

@@ -12,6 +12,17 @@ batch-last layout (see ``bipk_tpu.algorithms.apf``), and the backward
 ancestral reconstruction (host numpy in the reference,
 ``/root/reference/src/Filtering.py:40-55``) as a reverse scan on device.
 
+Architectural delta (TPU-first): because Algorithm 3 pins the forgetting
+factor to 1.0 (``Algorithm3.py:29-41``), each particle's ``prior + stats``
+evolves purely by rank-1 data updates and the reference-future bookkeeping
+purely by rank-1 decrements. The default ``rank1=True`` path therefore
+carries **augmented Cholesky factors** (:mod:`bipk_tpu.ops.cholup`) through
+the scan and maintains them in O(p^2) per step, eliminating all three
+per-step O(p^3) factorization-class kernels the direct formulation needs
+(posterior factorization + the two log-base-measure factorizations of
+``Algorithm3.py:92-106``). ``rank1=False`` keeps the refactorize-per-step
+formulation for A/B validation.
+
 Deviation: for deterministic transitions (zero process noise — the toy
 example) the reference evaluates a Gaussian transition density with singular
 covariance, which produces NaN ancestor weights that degenerate into "keep
@@ -30,7 +41,7 @@ import jax.numpy as jnp
 from bipk_tpu.algorithms.apf import APFKernel
 from bipk_tpu.models.ssm import GPNode, SSM
 from bipk_tpu.ops import batched_linalg as bla
-from bipk_tpu.ops import mniw, resampling
+from bipk_tpu.ops import cholup, mniw, resampling
 
 
 class CSMCResult(NamedTuple):
@@ -46,6 +57,7 @@ def build_csmc(
     n_particles: int,
     dtype=jnp.float32,
     mesh=None,
+    rank1: bool | None = None,
 ) -> Callable:
     """Build the fused conditional-SMC-with-ancestor-sampling sweep.
 
@@ -53,10 +65,21 @@ def build_csmc(
     init_state_cov, ref_state, ref_int_vars, ref_summed_stats) ->
     CSMCResult`` where ``ref_state (T, dx)``, ``ref_int_vars`` is a tuple of
     ``(T, n_i)`` trajectories and ``ref_summed_stats`` the tuple of summed
-    MNIW statistics of the reference trajectory.
+    MNIW statistics of the reference trajectory. ``rank1`` selects the
+    O(p^2)-per-step factor-carry formulation (default) vs the
+    refactorize-per-step one (see module docstring).
     """
     kern = APFKernel(ssm, gps, dtype, mesh=mesh)
     n_gp = kern.n_gp
+    ms = tuple(gp.prior.T1.shape[0] for gp in kern.gps)
+    if rank1 is None:
+        # the unrolled O(p^2) update chains blow up XLA compile time for
+        # large basis counts; those workloads run at small particle counts
+        # where the refactorize path is fine
+        rank1 = all(
+            m + gp.prior.T2.shape[0] <= 25
+            for m, gp in zip(ms, kern.gps)
+        )
     deterministic = ssm.is_deterministic
     process_chol = kern.process_chol
     if process_chol is not None:
@@ -79,7 +102,142 @@ def build_csmc(
             )
         return tuple(out)
 
-    def step(carry, xs):
+    def transition_logpdf_to_ref(aux_state, ref_x, lw_like):
+        """``h_x``: Gaussian transition density from each auxiliary state
+        to the reference state (``Algorithm3.py:107-114``)."""
+        if deterministic:
+            return jnp.zeros_like(lw_like)
+        resid = aux_state - ref_x[:, None]
+        white = bla.solve_lower_bl(process_chol, resid)
+        dx = white.shape[0]
+        return (
+            -0.5
+            * (dx * jnp.log(2.0 * jnp.asarray(jnp.pi, dtype))
+               + jnp.sum(white * white, axis=0))
+            - _q_logdet
+        )
+
+    def common_tail(
+        key, kern_factors_res, state, int_vars, ancestors,
+        inp_prev, inp_cur, obs, ref_x, ref_iv, ll_aux,
+    ):
+        """Propagate + pin + draw + pin, shared by both formulations."""
+        key, key_state = jax.random.split(key)
+        new_state = kern.propagate_all(
+            key_state,
+            kern.gather(state, ancestors),
+            inp_prev,
+            kern.gather(int_vars, ancestors),
+        )
+        new_state = new_state.at[:, -1].set(ref_x)
+
+        key, key_iv = jax.random.split(key)
+        new_iv, new_basis = kern.draw_int_vars(
+            key_iv, kern_factors_res, new_state, inp_cur
+        )
+        new_iv = tuple(
+            new_iv[i].at[:, -1].set(jnp.atleast_1d(ref_iv[i]))
+            for i in range(n_gp)
+        )
+        ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
+        new_log_weights = ll_new - ll_aux[ancestors]
+        return new_state, new_iv, new_basis, new_log_weights
+
+    # -- rank-1 factor-carry formulation ------------------------------------
+
+    def step_rank1(carry, xs):
+        log_weights, state, int_vars, Fs, dfs, Fps, dfps = carry
+        obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
+
+        factors = tuple(
+            cholup.aug_to_factor(Fs[i], dfs[i], ms[i]) for i in range(n_gp)
+        )
+        aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
+            state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
+        )
+
+        key, key_res = jax.random.split(key)
+        ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
+
+        # --- ancestor sampling for the reference particle ---
+        # marginal-likelihood correction g_t - g_T from MNIW log base
+        # measures (parity: /root/reference/src/Algorithm3.py:92-106) —
+        # both terms come straight off the carried factors' diagonals
+        g_diff = jnp.zeros_like(lw_aux)
+        for i in range(n_gp):
+            without_future = cholup.aug_log_base_measure(
+                Fs[i], dfs[i], ms[i]
+            )
+            with_future = cholup.aug_log_base_measure(
+                Fps[i], dfps[i], ms[i]
+            )
+            g_diff = g_diff + without_future - with_future
+        h_x = transition_logpdf_to_ref(aux_state, ref_x, lw_aux)
+        # Deviation: the reference builds the ancestor weights on the
+        # *auxiliary* weights (lookahead factor included,
+        # /root/reference/src/Algorithm3.py:115); the valid AS weight uses
+        # the time-(t-1) importance weights — the lookahead factor cancels
+        # against the pinned particle's later 1/nu correction. Verified
+        # against an exact Kalman smoother (tests/test_invariance.py).
+        key, key_ref = jax.random.split(key)
+        ref_idx = resampling.categorical_from_weights(
+            key_ref, jax.nn.softmax(log_weights + g_diff + h_x)
+        )
+        ancestors = ancestors.at[-1].set(ref_idx)
+
+        F_g = kern.gather(Fs, ancestors)
+        df_g = tuple(d[ancestors] for d in dfs)
+        factors_res = tuple(
+            cholup.aug_to_factor(F_g[i], df_g[i], ms[i]) for i in range(n_gp)
+        )
+        new_state, new_iv, new_basis, new_log_weights = common_tail(
+            key, factors_res, state, int_vars, ancestors,
+            inp_prev, inp_cur, obs, ref_x, ref_iv, ll_aux,
+        )
+
+        # --- O(p^2) factor maintenance instead of refactorization ---
+        # data update [phi; y] per particle; the plus-factor additionally
+        # downdates the reference's own contribution at this step
+        # (parity: /root/reference/src/Algorithm3.py:162-174)
+        Fp_g = kern.gather(Fps, ancestors)
+        dfp_g = tuple(d[ancestors] for d in dfps)
+        new_Fs, new_Fps = [], []
+        for i in range(n_gp):
+            z = jnp.concatenate([new_basis[i], new_iv[i]], axis=0)
+            new_Fs.append(cholup.chol_rank1_update_bl(F_g[i], z))
+            phi_ref = kern.gps[i].basis_fn(ref_x, inp_cur)
+            z_ref = jnp.concatenate(
+                [phi_ref, jnp.atleast_1d(ref_iv[i])]
+            )[:, None]
+            new_Fps.append(
+                cholup.chol_rank1_update_bl(
+                    cholup.chol_rank1_downdate_bl(Fp_g[i], z_ref), z
+                )
+            )
+        new_dfs = tuple(d + 1.0 for d in df_g)
+        new_dfps = tuple(dfp_g)  # +1 datum, -1 remaining future
+
+        norm_w = jax.nn.softmax(new_log_weights)
+        emits = (
+            new_state.T,
+            tuple(iv.T for iv in new_iv),
+            new_log_weights,
+            ancestors,
+            1.0 / jnp.sum(norm_w * norm_w),
+        )
+        return (
+            new_log_weights,
+            new_state,
+            new_iv,
+            tuple(new_Fs),
+            new_dfs,
+            tuple(new_Fps),
+            new_dfps,
+        ), emits
+
+    # -- refactorize-per-step formulation (A/B validation path) -------------
+
+    def step_direct(carry, xs):
         log_weights, state, int_vars, stats, ref_stats = carry
         obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
 
@@ -91,9 +249,6 @@ def build_csmc(
         key, key_res = jax.random.split(key)
         ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
 
-        # --- ancestor sampling for the reference particle ---
-        # marginal-likelihood correction g_t - g_T from MNIW log base
-        # measures (parity: /root/reference/src/Algorithm3.py:92-106)
         g_diff = jnp.zeros_like(lw_aux)
         for i in range(n_gp):
             ref_bl = jax.tree_util.tree_map(
@@ -108,72 +263,29 @@ def build_csmc(
                 ),
                 use_pallas=kern.use_pallas,
             )
-            without_future = mniw.log_base_measure_bl(
-                jax.tree_util.tree_map(
-                    lambda p, s: p + s, kern.priors_bl[i], stats[i]
-                ),
-                use_pallas=kern.use_pallas,
-            )
+            without_future = mniw.log_base_measure_from_factor_bl(factors[i])
             g_diff = g_diff + without_future - with_future
-        if deterministic:
-            h_x = jnp.zeros_like(lw_aux)
-        else:
-            resid = aux_state - ref_x[:, None]
-            white = bla.solve_lower_bl(process_chol, resid)
-            dx = white.shape[0]
-            h_x = (
-                -0.5
-                * (dx * jnp.log(2.0 * jnp.asarray(jnp.pi, dtype))
-                   + jnp.sum(white * white, axis=0))
-                - _q_logdet
-            )
-        # Deviation: the reference builds the ancestor weights on the
-        # *auxiliary* weights (lookahead factor included,
-        # /root/reference/src/Algorithm3.py:115); the valid AS weight uses
-        # the time-(t-1) importance weights — the lookahead factor cancels
-        # against the pinned particle's later 1/nu correction. Verified
-        # against an exact Kalman smoother (tests/test_invariance.py).
+        h_x = transition_logpdf_to_ref(aux_state, ref_x, lw_aux)
         key, key_ref = jax.random.split(key)
         ref_idx = resampling.categorical_from_weights(
             key_ref, jax.nn.softmax(log_weights + g_diff + h_x)
         )
         ancestors = ancestors.at[-1].set(ref_idx)
 
-        # --- propagate; pin reference state ---
-        key, key_state = jax.random.split(key)
-        new_state = kern.propagate_all(
-            key_state,
-            kern.gather(state, ancestors),
-            inp_prev,
-            kern.gather(int_vars, ancestors),
-        )
-        new_state = new_state.at[:, -1].set(ref_x)
-
-        # --- predictive interface-variable draws; pin reference ---
-        key, key_iv = jax.random.split(key)
         factors_res = kern.gather(factors, ancestors)
-        new_iv, new_basis = kern.draw_int_vars(
-            key_iv, factors_res, new_state, inp_cur
+        new_state, new_iv, new_basis, new_log_weights = common_tail(
+            key, factors_res, state, int_vars, ancestors,
+            inp_prev, inp_cur, obs, ref_x, ref_iv, ll_aux,
         )
-        new_iv = tuple(
-            new_iv[i].at[:, -1].set(jnp.atleast_1d(ref_iv[i]))
-            for i in range(n_gp)
-        )
-
         new_stats = kern.update_stats(
             kern.gather(stats, ancestors), new_iv, new_basis
         )
 
-        # decrement the reference's own contribution at this step
-        # (parity: /root/reference/src/Algorithm3.py:162-174)
         ref_T = ref_contribution(ref_x, ref_iv, inp_cur)
         new_ref_stats = tuple(
             jax.tree_util.tree_map(lambda s, t: s - t, ref_stats[i], ref_T[i])
             for i in range(n_gp)
         )
-
-        ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
-        new_log_weights = ll_new - ll_aux[ancestors]
 
         norm_w = jax.nn.softmax(new_log_weights)
         emits = (
@@ -256,8 +368,31 @@ def build_csmc(
             tuple(r[1:] for r in ref_int_vars),
             keys[:-1],
         )
-        carry0 = (log_w0, state0, iv0, stats0, ref_stats)
-        carry, emits = jax.lax.scan(step, carry0, xs)
+        if rank1:
+            Fs, dfs, Fps, dfps = [], [], [], []
+            for i in range(n_gp):
+                nat = jax.tree_util.tree_map(
+                    lambda p, s: p + s, kern.priors_bl[i], stats0[i]
+                )
+                F, df = cholup.aug_factorize_bl(nat)
+                nat_p = jax.tree_util.tree_map(
+                    lambda n_, r: n_ + (r[..., None] if r.ndim else r),
+                    nat,
+                    ref_stats[i],
+                )
+                Fp, dfp = cholup.aug_factorize_bl(nat_p)
+                Fs.append(F)
+                dfs.append(df)
+                Fps.append(Fp)
+                dfps.append(dfp)
+            carry0 = (
+                log_w0, state0, iv0,
+                tuple(Fs), tuple(dfs), tuple(Fps), tuple(dfps),
+            )
+            carry, emits = jax.lax.scan(step_rank1, carry0, xs)
+        else:
+            carry0 = (log_w0, state0, iv0, stats0, ref_stats)
+            carry, emits = jax.lax.scan(step_direct, carry0, xs)
         state_tr, iv_tr, log_w_tr, ancestors, ess = emits
         final_log_w = carry[0]
 

@@ -317,7 +317,7 @@ def _gram_bl(W: jax.Array) -> jax.Array:
     )
 
 
-def _pallas_ok(nat_or_dtype, use_pallas=None) -> bool:
+def _pallas_ok(nat_or_dtype, use_pallas=None, m: int | None = None) -> bool:
     if use_pallas is False:
         return False
     dtype = getattr(nat_or_dtype, "dtype", None) or nat_or_dtype.T1.dtype
@@ -325,6 +325,8 @@ def _pallas_ok(nat_or_dtype, use_pallas=None) -> bool:
         return False
     from bipk_tpu.ops import pallas_kernels
 
+    if m is not None and not pallas_kernels.supported(m):
+        return False
     return pallas_kernels.enabled()
 
 
@@ -341,7 +343,7 @@ def factorize_bl(
     """
     if jitter is None:
         jitter = _default_jitter(nat.T1.dtype)
-    if _pallas_ok(nat, use_pallas):
+    if _pallas_ok(nat, use_pallas, m=nat.T1.shape[0]):
         from bipk_tpu.ops import pallas_kernels
 
         chol, white, row = pallas_kernels.factorize_blocks(
@@ -360,11 +362,83 @@ def factorize_bl(
     return MNIWFactor(L, white_T0, row_scale, nat.T3)
 
 
+def factorize_scaled_bl(
+    stats: MNIW,
+    prior: MNIW | None = None,
+    lam: float = 1.0,
+    jitter: float | None = None,
+    use_pallas: bool | None = None,
+) -> MNIWFactor:
+    """Factor ``prior + lam * stats`` (batch-last) in one fused pass.
+
+    Folds the exponential-forgetting scale (``lam``, the reference's
+    ``forgetting_factor * stats`` pass at
+    ``/root/reference/src/Algorithm1.py:315-318``) and the prior addition
+    into the factorization kernel, so neither ``lam * stats`` nor
+    ``prior + stats`` is ever materialized in HBM. ``prior`` is an
+    *unbatched* MNIW (leaves ``(m, n)``, ``(m, m)``, ``(n, n)``, ``()``).
+    """
+    if jitter is None:
+        jitter = _default_jitter(stats.T1.dtype)
+    df = stats.T3 * lam + (prior.T3 if prior is not None else 0.0)
+    if _pallas_ok(stats, use_pallas, m=stats.T1.shape[0]):
+        from bipk_tpu.ops import pallas_kernels
+
+        prior_blocks = (
+            (prior.T0, prior.T1, prior.T2) if prior is not None else None
+        )
+        chol, white, row = pallas_kernels.factorize_blocks(
+            stats.T0, stats.T1, stats.T2, float(jitter), float(lam),
+            prior_blocks,
+        )
+        return MNIWFactor(chol, white, row, df)
+    scaled = MNIW(stats.T0 * lam, stats.T1 * lam, stats.T2 * lam, df)
+    if prior is not None:
+        nat = MNIW(
+            scaled.T0 + prior.T0[..., None],
+            scaled.T1 + prior.T1[..., None],
+            scaled.T2 + prior.T2[..., None],
+            df,
+        )
+    else:
+        nat = scaled
+    return factorize_bl(nat, jitter=jitter, use_pallas=False)
+
+
+def log_base_measure_from_factor_bl(factor: MNIWFactor) -> jax.Array:
+    """Batch-last :func:`log_base_measure` from an existing factorization.
+
+    Mathematically identical to ``log_base_measure_bl(prior + stats)`` when
+    ``factor = factorize_scaled_bl(stats, prior)`` — the log-determinants
+    come straight off the carried Cholesky diagonal and Schur complement,
+    skipping the second full factorization the direct path performs.
+    """
+    n = factor.row_scale.shape[0]
+    m = factor.chol.shape[0]
+    logdet_T1 = bla.logdet_from_chol_bl(factor.chol)
+    psi = factor.row_scale
+    if n == 1:
+        logdet_Psi = jnp.log(psi[0, 0])
+    elif n == 2:
+        off = 0.5 * (psi[0, 1] + psi[1, 0])
+        logdet_Psi = jnp.log(psi[0, 0] * psi[1, 1] - off * off)
+    else:
+        sym = 0.5 * (psi + jnp.swapaxes(psi, 0, 1))
+        logdet_Psi = bla.logdet_from_chol_bl(bla.chol_lower_bl(sym))
+    nu = factor.df
+    out = -0.5 * n * m * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype=nu.dtype))
+    out = out + 0.5 * n * logdet_T1
+    out = out - 0.5 * nu * n * jnp.log(jnp.asarray(2.0, dtype=nu.dtype))
+    out = out - jsp.special.multigammaln(nu / 2.0, n)
+    out = out + 0.5 * nu * logdet_Psi
+    return out
+
+
 def factor_mean_at_bl(
     factor: MNIWFactor, phi: jax.Array, use_pallas: bool | None = None
 ) -> jax.Array:
     """Posterior-mean prediction, batch-last: ``phi (m, N) -> (n, N)``."""
-    if phi.ndim == 2 and _pallas_ok(factor.chol, use_pallas):
+    if phi.ndim == 2 and _pallas_ok(factor.chol, use_pallas, m=factor.chol.shape[0]):
         from bipk_tpu.ops import pallas_kernels
 
         mean, _ = pallas_kernels.project_blocks(
@@ -390,7 +464,7 @@ def sample_predictive_bl(
     particle population (the batch-first path splits N keys per step).
     """
     n = factor.row_scale.shape[0]
-    if phi.ndim == 2 and _pallas_ok(factor.chol, use_pallas):
+    if phi.ndim == 2 and _pallas_ok(factor.chol, use_pallas, m=factor.chol.shape[0]):
         from bipk_tpu.ops import pallas_kernels
 
         mean, col_scale = pallas_kernels.project_blocks(
@@ -430,7 +504,7 @@ def log_base_measure_bl(nat: MNIW, use_pallas: bool | None = None) -> jax.Array:
     n = nat.T2.shape[0]
     m = nat.T1.shape[0]
     jitter = _default_jitter(nat.T1.dtype)
-    if n <= 2 and _pallas_ok(nat, use_pallas):
+    if n <= 2 and _pallas_ok(nat, use_pallas, m=m):
         from bipk_tpu.ops import pallas_kernels
 
         logdet_T1, logdet_Psi = pallas_kernels.log_base_measure_logdets(

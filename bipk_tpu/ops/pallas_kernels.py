@@ -1,7 +1,7 @@
 """Pallas TPU kernels for the per-particle MNIW hot path.
 
 The filter step's dominant cost is small-matrix algebra batched over the
-particle population: Cholesky of ``prior + stats`` (m x m, m = 9..41),
+particle population: Cholesky of ``prior + lam * stats`` (m x m, m = 9..41),
 triangular solves against it, and quadratic forms. XLA executes the
 unrolled elementwise formulation (``ops.batched_linalg``) as hundreds of
 separate kernels with fixed launch overhead each — measured ~22 ms/step at
@@ -10,8 +10,16 @@ the whole fused computation for a lane-aligned block of particles resident
 in VMEM, so the entire factorization is one Mosaic kernel.
 
 Layout: batch-last (``(m, m, N)`` etc., particles in lanes) matching
-``ops.batched_linalg``. Used automatically on TPU backends; set
-``BIPK_DISABLE_PALLAS=1`` to force the pure-XLA path.
+``ops.batched_linalg``. Inside a kernel the particle block is shaped
+``(8, 128)`` — a full f32 sublane x lane tile — so every unrolled
+multiply-subtract runs the VPU at full width. (A 1-D ``(512,)`` block
+occupies one sublane of four lane-tiles: 8x less arithmetic throughput —
+measured 3.1 ms/step vs 0.6 ms/step for the factorization at N = 32768,
+m = 20 on v5e.) Matrices with m above the VMEM budget for that layout
+(``supported(m)`` is False) use the unrolled-XLA path instead.
+
+Used automatically on TPU backends; set ``BIPK_DISABLE_PALLAS=1`` to force
+the pure-XLA path.
 """
 
 from __future__ import annotations
@@ -24,7 +32,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 512  # particles per kernel instance (lanes: 4 f32 tiles)
+_LANES = 128
+_ROWS = 8  # f32 sublane count: values are full (8, 128) tiles
+_BLOCK = _ROWS * _LANES  # 1024 particles per kernel instance
+# (m, m, 8, 128) in + out blocks + live temporaries must fit ~16 MB VMEM
+# with double buffering; m = 24 peaks around 12 MB. Larger matrices use the
+# unrolled-XLA path (ops.batched_linalg) — every large-m workload in the
+# suite runs at small particle counts where kernel fusion no longer pays.
+_MAX_M = 24
+
+
+def supported(m: int) -> bool:
+    """Whether the fused kernels handle an m x m factorization."""
+    return m <= _MAX_M
 
 
 def enabled() -> bool:
@@ -36,30 +56,43 @@ def enabled() -> bool:
         return False
 
 
-def _pad_block(n: int) -> int:
-    return -(-n // _BLOCK) * _BLOCK
+def _pad_last(x, total):
+    pad = total - x.shape[-1]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths, constant_values=1.0)
 
 
-def _chol_cols(read_a, m, jitter):
-    """Shared unrolled Cholesky on ``(N_b,)`` vector lanes.
+def _blockify(x, total):
+    """Pad the trailing particle axis and split it into (rows, lanes) so
+    kernel values are full (8, 128) tiles."""
+    x = _pad_last(x, total)
+    return x.reshape(x.shape[:-1] + (total // _LANES, _LANES))
 
-    ``read_a(i, j)`` returns the (symmetrized) matrix entry as a vector.
-    Returns the list of column vectors ``cols[j] (m, N_b)``.
-    """
-    if jitter:
-        trace = read_a(0, 0)
-        for i in range(1, m):
-            trace = trace + read_a(i, i)
-        bump = (jitter / m) * trace
-    else:
-        bump = None
 
+def _spec(lead):
+    """BlockSpec for an array with leading dims ``lead`` + particle tiles."""
+    zeros = (0,) * len(lead)
+    return pl.BlockSpec(
+        (*lead, _ROWS, _LANES),
+        lambda i, _z=zeros: (*_z, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _unblock(x, n):
+    x = x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+    return x[..., :n]
+
+
+def _chol_cols(read_a, m):
+    """Shared unrolled Cholesky; ``read_a(i, j)`` returns the matrix entry
+    as a particle-block value. Returns column vectors ``cols[j][i]``."""
     cols = []
     for j in range(m):
         # s_i = A[i, j] - sum_{k<j} L[i,k] L[j,k]
         s = [read_a(i, j) for i in range(m)]
-        if bump is not None:
-            s[j] = s[j] + bump
         for k in range(j):
             ljk = cols[k][j]
             for i in range(j, m):
@@ -71,55 +104,106 @@ def _chol_cols(read_a, m, jitter):
     return cols
 
 
-def _factorize_kernel(t0_ref, t1_ref, t2_ref, chol_ref, white_ref, row_ref, *, m, n, jitter):
-    def read_a(i, j):
-        return 0.5 * (t1_ref[i, j, :] + t1_ref[j, i, :])
+def _make_read_a(t1_ref, p1_ref, jitter, lam, m):
+    """Entry reader for ``A = prior1 + lam * sym(stats1) (+ jitter)``.
 
-    cols = _chol_cols(read_a, m, jitter)
+    ``p1_ref`` is the (m, m) prior block in SMEM (scalars broadcast into
+    the particle tile); ``None`` means no prior term.
+    """
+
+    def read_raw(i, j):
+        a = 0.5 * (t1_ref[i, j] + t1_ref[j, i])
+        if lam != 1.0:
+            a = a * lam
+        if p1_ref is not None:
+            a = a + p1_ref[i, j]
+        return a
+
+    if not jitter:
+        return read_raw
+
+    trace = read_raw(0, 0)
+    for i in range(1, m):
+        trace = trace + read_raw(i, i)
+    bump = (jitter / m) * trace
+
+    def read_a(i, j):
+        a = read_raw(i, j)
+        if i == j:
+            a = a + bump
+        return a
+
+    return read_a
+
+
+def _factorize_kernel(
+    t0_ref, t1_ref, t2_ref, p0_ref, p1_ref, p2_ref,
+    chol_ref, white_ref, row_ref, *, m, n, jitter, lam, has_prior
+):
+    p0 = p0_ref if has_prior else None
+    p1 = p1_ref if has_prior else None
+    p2 = p2_ref if has_prior else None
+    cols = _chol_cols(_make_read_a(t1_ref, p1, jitter, lam, m), m)
 
     for j in range(m):
         for i in range(m):
-            chol_ref[i, j, :] = cols[j][i]
+            chol_ref[i, j] = cols[j][i]
+
+    def read_t0(i, c):
+        a = t0_ref[i, c]
+        if lam != 1.0:
+            a = a * lam
+        if p0 is not None:
+            a = a + p0[i, c]
+        return a
+
+    def read_t2(a_, b):
+        v = t2_ref[a_, b]
+        if lam != 1.0:
+            v = v * lam
+        if p2 is not None:
+            v = v + p2[a_, b]
+        return v
 
     # forward substitution: white = L^{-1} T0, column by column of T0
     white = []
     for i in range(m):
         row = []
         for c in range(n):
-            acc = t0_ref[i, c, :]
+            acc = read_t0(i, c)
             for k in range(i):
                 acc = acc - cols[k][i] * white[k][c]
             row.append(acc / cols[i][i])
         white.append(row)
         for c in range(n):
-            white_ref[i, c, :] = row[c]
+            white_ref[i, c] = row[c]
 
     # row_scale = T2 - white^T white
     for a in range(n):
         for b in range(n):
-            acc = t2_ref[a, b, :]
+            acc = read_t2(a, b)
             for k in range(m):
                 acc = acc - white[k][a] * white[k][b]
-            row_ref[a, b, :] = acc
+            row_ref[a, b] = acc
 
 
 def _project_kernel(chol_ref, white_ref, phi_ref, mean_ref, col_ref, *, m, n):
     """v = L^{-1} phi; mean = white^T v; col_scale = v.v + 1."""
     v = []
     for i in range(m):
-        acc = phi_ref[i, :]
+        acc = phi_ref[i]
         for k in range(i):
-            acc = acc - chol_ref[i, k, :] * v[k]
-        v.append(acc / chol_ref[i, i, :])
+            acc = acc - chol_ref[i, k] * v[k]
+        v.append(acc / chol_ref[i, i])
     for c in range(n):
-        acc = white_ref[0, c, :] * v[0]
+        acc = white_ref[0, c] * v[0]
         for k in range(1, m):
-            acc = acc + white_ref[k, c, :] * v[k]
-        mean_ref[c, :] = acc
+            acc = acc + white_ref[k, c] * v[k]
+        mean_ref[c] = acc
     acc = v[0] * v[0]
     for k in range(1, m):
         acc = acc + v[k] * v[k]
-    col_ref[0, :] = acc + 1.0
+    col_ref[0] = acc + 1.0
 
 
 def _log_base_measure_kernel(
@@ -133,10 +217,7 @@ def _log_base_measure_kernel(
     """
     assert n <= 2, "pallas log_base_measure supports n <= 2"
 
-    def read_a(i, j):
-        return 0.5 * (t1_ref[i, j, :] + t1_ref[j, i, :])
-
-    cols = _chol_cols(read_a, m, jitter)
+    cols = _chol_cols(_make_read_a(t1_ref, None, jitter, 1.0, m), m)
     half_logdet_t1 = jnp.log(cols[0][0])
     for i in range(1, m):
         half_logdet_t1 = half_logdet_t1 + jnp.log(cols[i][i])
@@ -145,7 +226,7 @@ def _log_base_measure_kernel(
     for i in range(m):
         row = []
         for c in range(n):
-            acc = t0_ref[i, c, :]
+            acc = t0_ref[i, c]
             for k in range(i):
                 acc = acc - cols[k][i] * white[k][c]
             row.append(acc / cols[i][i])
@@ -154,7 +235,7 @@ def _log_base_measure_kernel(
     psi = [[None] * n for _ in range(n)]
     for a in range(n):
         for b in range(n):
-            acc = t2_ref[a, b, :]
+            acc = t2_ref[a, b]
             for k in range(m):
                 acc = acc - white[k][a] * white[k][b]
             psi[a][b] = acc
@@ -164,49 +245,64 @@ def _log_base_measure_kernel(
         off = 0.5 * (psi[0][1] + psi[1][0])
         logdet_psi = jnp.log(psi[0][0] * psi[1][1] - off * off)
 
-    out_ref[0, :] = 2.0 * half_logdet_t1
-    out_ref[1, :] = logdet_psi
+    out_ref[0] = 2.0 * half_logdet_t1
+    out_ref[1] = logdet_psi
 
 
-def _pad_last(x, total):
-    pad = total - x.shape[-1]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
-    return jnp.pad(x, widths, constant_values=1.0)
+def _smem_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.SMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("jitter",))
-def factorize_blocks(T0, T1, T2, jitter: float):
-    """Fused ``chol(sym(T1)+jitter) / white / row_scale`` over particles.
+@functools.partial(jax.jit, static_argnames=("jitter", "lam"))
+def factorize_blocks(T0, T1, T2, jitter: float, lam: float = 1.0,
+                     prior=None):
+    """Fused ``chol(P1 + lam*sym(T1) + jitter) / white / row_scale``.
 
     ``T0 (m, n, N)``, ``T1 (m, m, N)``, ``T2 (n, n, N)`` ->
-    ``(chol (m, m, N), white (m, n, N), row_scale (n, n, N))``.
+    ``(chol (m, m, N), white (m, n, N), row_scale (n, n, N))`` of the MNIW
+    ``prior + lam * stats`` (``prior`` an optional tuple of unbatched
+    ``(P0 (m, n), P1 (m, m), P2 (n, n))``; folding it here avoids
+    materializing the ``prior + stats`` temporaries in HBM).
     """
     m, n, N = T0.shape[0], T0.shape[1], T0.shape[-1]
-    total = _pad_block(N)
-    t0 = _pad_last(T0, total)
-    t1 = _pad_last(T1, total)
-    t2 = _pad_last(T2, total)
+    assert supported(m), f"m={m} exceeds the fused-kernel VMEM budget"
+    total = -(-N // _BLOCK) * _BLOCK
     grid = (total // _BLOCK,)
 
-    def spec(r, c):
-        return pl.BlockSpec(
-            (r, c, _BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-        )
+    has_prior = prior is not None
+    if has_prior:
+        p0, p1, p2 = (jnp.asarray(p, dtype=T1.dtype) for p in prior)
+    else:
+        zero = jnp.zeros((1, 1), T1.dtype)
+        p0 = p1 = p2 = zero
+    prior_specs = [
+        _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
+    ]
 
     chol, white, row = pl.pallas_call(
-        functools.partial(_factorize_kernel, m=m, n=n, jitter=jitter),
+        functools.partial(
+            _factorize_kernel, m=m, n=n, jitter=jitter, lam=lam,
+            has_prior=has_prior,
+        ),
         grid=grid,
-        in_specs=[spec(m, n), spec(m, m), spec(n, n)],
-        out_specs=[spec(m, m), spec(m, n), spec(n, n)],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, m, total), T1.dtype),
-            jax.ShapeDtypeStruct((m, n, total), T0.dtype),
-            jax.ShapeDtypeStruct((n, n, total), T2.dtype),
+        in_specs=[
+            _spec((m, n)), _spec((m, m)), _spec((n, n)),
+            *prior_specs,
         ],
-    )(t0, t1, t2)
-    return chol[..., :N], white[..., :N], row[..., :N]
+        out_specs=[_spec((m, m)), _spec((m, n)), _spec((n, n))],
+        out_shape=[
+            jax.ShapeDtypeStruct(_blockify(T1, total).shape, T1.dtype),
+            jax.ShapeDtypeStruct(_blockify(T0, total).shape, T0.dtype),
+            jax.ShapeDtypeStruct(_blockify(T2, total).shape, T2.dtype),
+        ],
+    )(
+        _blockify(T0, total),
+        _blockify(T1, total),
+        _blockify(T2, total),
+        p0, p1, p2,
+    )
+    return (_unblock(chol, N), _unblock(white, N), _unblock(row, N))
 
 
 @jax.jit
@@ -214,28 +310,25 @@ def project_blocks(chol, white, phi):
     """Fused ``v = chol^{-1} phi``; ``mean = white^T v``;
     ``col_scale = v.v + 1`` -> ``(mean (n, N), col_scale (N,))``."""
     m, n, N = white.shape[0], white.shape[1], white.shape[-1]
-    total = _pad_block(N)
+    assert supported(m), f"m={m} exceeds the fused-kernel VMEM budget"
+    total = -(-N // _BLOCK) * _BLOCK
     grid = (total // _BLOCK,)
-
-    def spec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(
-            (*dims, _BLOCK),
-            (lambda i: (0, 0, i)) if nd == 2 else (lambda i: (0, i)),
-            memory_space=pltpu.VMEM,
-        )
 
     mean, col = pl.pallas_call(
         functools.partial(_project_kernel, m=m, n=n),
         grid=grid,
-        in_specs=[spec(m, m), spec(m, n), spec(m)],
-        out_specs=[spec(n), spec(1)],
+        in_specs=[_spec((m, m)), _spec((m, n)), _spec((m,))],
+        out_specs=[_spec((n,)), _spec((1,))],
         out_shape=[
-            jax.ShapeDtypeStruct((n, total), phi.dtype),
-            jax.ShapeDtypeStruct((1, total), phi.dtype),
+            jax.ShapeDtypeStruct((n, total // _LANES, _LANES), phi.dtype),
+            jax.ShapeDtypeStruct((1, total // _LANES, _LANES), phi.dtype),
         ],
-    )(_pad_last(chol, total), _pad_last(white, total), _pad_last(phi, total))
-    return mean[..., :N], col[0, :N]
+    )(
+        _blockify(chol, total),
+        _blockify(white, total),
+        _blockify(phi, total),
+    )
+    return _unblock(mean, N), _unblock(col, N)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("jitter",))
@@ -243,21 +336,22 @@ def log_base_measure_logdets(T0, T1, T2, jitter: float):
     """Fused log-determinant pieces: returns ``(logdet_T1, logdet_Psi)``
     each ``(N,)`` where ``Psi = T2 - T0^T sym(T1)^{-1} T0``."""
     m, n, N = T0.shape[0], T0.shape[1], T0.shape[-1]
-    total = _pad_block(N)
+    assert supported(m), f"m={m} exceeds the fused-kernel VMEM budget"
+    total = -(-N // _BLOCK) * _BLOCK
     grid = (total // _BLOCK,)
-
-    def spec(r, c):
-        return pl.BlockSpec(
-            (r, c, _BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-        )
 
     out = pl.pallas_call(
         functools.partial(_log_base_measure_kernel, m=m, n=n, jitter=jitter),
         grid=grid,
-        in_specs=[spec(m, n), spec(m, m), spec(n, n)],
-        out_specs=pl.BlockSpec(
-            (2, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+        in_specs=[_spec((m, n)), _spec((m, m)), _spec((n, n))],
+        out_specs=_spec((2,)),
+        out_shape=jax.ShapeDtypeStruct(
+            (2, total // _LANES, _LANES), T1.dtype
         ),
-        out_shape=jax.ShapeDtypeStruct((2, total), T1.dtype),
-    )(_pad_last(T0, total), _pad_last(T1, total), _pad_last(T2, total))
-    return out[0, :N], out[1, :N]
+    )(
+        _blockify(T0, total),
+        _blockify(T1, total),
+        _blockify(T2, total),
+    )
+    out = _unblock(out, N)
+    return out[0], out[1]

@@ -103,22 +103,39 @@ def ring_redistribute(
     me = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
+    # pack every leaf into one (K, n_loc) matrix so each of the n_dev
+    # rounds performs ONE gather and ONE ppermute (TPU gathers are per-op
+    # latency-bound — see APFKernel.packed_gather)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    rows = [
+        leaf.reshape((-1, n_loc)) if leaf.ndim != 2 else leaf
+        for leaf in leaves
+    ]
+    sizes = [r.shape[0] for r in rows]
+    packed = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
     def body(r, carry):
         out, block = carry
         src = jnp.mod(me - r, n_dev)  # origin shard of the block we hold
         idx = ancestors_global - src * n_loc
         mask = (idx >= 0) & (idx < n_loc)
         safe = jnp.clip(idx, 0, n_loc - 1)
-
-        def take(o, b):
-            g = _gather_last(b, safe)
-            m = mask.reshape((1,) * (g.ndim - 1) + (n_loc,))
-            return jnp.where(m, g, o)
-
-        out = jax.tree_util.tree_map(take, out, block)
+        g = jnp.take(block, safe, axis=-1)
+        out = jnp.where(mask[None, :], g, out)
         block = jax.lax.ppermute(block, axis_name, perm)
         return out, block
 
-    out0 = jax.tree_util.tree_map(jnp.zeros_like, tree)
-    out, _ = jax.lax.fori_loop(0, n_dev, body, (out0, tree))
-    return out
+    out, _ = jax.lax.fori_loop(
+        0, n_dev, body, (jnp.zeros_like(packed), packed)
+    )
+
+    offsets, total = [], 0
+    for s in sizes[:-1]:
+        total += s
+        offsets.append(total)
+    parts = jnp.split(out, offsets, axis=0) if offsets else [out]
+    outs = [
+        p.reshape(leaf.shape[:-1] + (n_loc,))
+        for p, leaf in zip(parts, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, outs)

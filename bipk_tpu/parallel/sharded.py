@@ -141,8 +141,7 @@ def build_sharded_apf(
                 jax.random.fold_in(key_draws, shard)
             )
 
-            stats = tuple(st.scale(forgetting_factor) for st in stats)
-            factors = kern.factorize_all(stats)
+            factors = kern.factorize_all(stats, forgetting_factor)
             aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
                 state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
             )
@@ -150,35 +149,39 @@ def build_sharded_apf(
             w_global = _global_softmax(lw_aux)
             if resampling_scheme == "exact":
                 # exact global systematic resampling + ring payload fetch
+                # (factors are recomputed from the redistributed statistics
+                # — cheaper than rotating the factor payload over ICI)
                 anc = global_resampling.global_systematic_slice(
                     key_res, w_global, PARTICLE_AXIS, n_dev
                 )
-                state_r, iv_r, factors_r, stats_r, ll_aux_r = (
+                state_r, iv_r, stats_r, ll_aux_r = (
                     global_resampling.ring_redistribute(
-                        (state, int_vars, factors, stats, ll_aux),
+                        (state, int_vars, stats, ll_aux),
                         anc, PARTICLE_AXIS, n_dev,
                     )
                 )
                 offset = jnp.zeros((), dtype=ll_aux.dtype)
             else:
-                # local systematic resampling on globally normalized mass
+                # local systematic resampling on globally normalized mass;
+                # one fused gather for all payloads, factors recomputed
                 shard_mass = jnp.sum(w_global)
                 w_local = w_global / jnp.maximum(shard_mass, 1e-30)
                 ancestors = resampling.systematic(
                     jax.random.fold_in(key_res, shard), w_local
                 )
-                state_r = kern.gather(state, ancestors)
-                iv_r = kern.gather(int_vars, ancestors)
-                factors_r = kern.gather(factors, ancestors)
-                stats_r = kern.gather(stats, ancestors)
-                ll_aux_r = ll_aux[ancestors]
+                state_r, iv_r, stats_r, ll_aux_r = kern.packed_gather(
+                    (state, int_vars, stats, ll_aux), ancestors
+                )
                 offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
+            factors_r = kern.factorize_all(stats_r, forgetting_factor)
 
             new_state = kern.propagate_all(key_state, state_r, inp_prev, iv_r)
             new_iv, new_basis = kern.draw_int_vars(
                 key_iv, factors_r, new_state, inp_cur
             )
-            new_stats = kern.update_stats(stats_r, new_iv, new_basis)
+            new_stats = kern.update_stats(
+                stats_r, new_iv, new_basis, forgetting_factor
+            )
 
             ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
             new_log_weights = ll_new - ll_aux_r + offset
