@@ -58,9 +58,18 @@ def test_sharded_apf_runs_and_is_finite(mesh8, toy_setup):
 
 
 def test_sharded_matches_single_chip_statistics(mesh8, toy_setup):
-    """Sharded local resampling and single-chip global systematic agree on
-    posterior moments within Monte-Carlo tolerance."""
+    """Seed-replicated two-sample z-test: the sharded local-resampling
+    estimator and the single-chip global-systematic estimator target the
+    same posterior expectations.
+
+    For K independent seeds each scheme produces scalar statistics
+    (time-averaged posterior interface-variable mean; trace of the final
+    weighted T1). The difference of the two sample means is compared
+    against its own measured Monte-Carlo standard error — a calibrated
+    bound, unlike the earlier fixed tolerances which only excluded gross
+    disagreement."""
     cfg, model, X, Y, inputs, key = toy_setup
+    K = 8
 
     sharded = jax.jit(
         build_sharded_apf(
@@ -73,27 +82,26 @@ def test_sharded_matches_single_chip_statistics(mesh8, toy_setup):
                   dtype=jnp.float64)
     )
 
-    res_s = sharded(key, Y, inputs, model.x0, model.p0)
-    res_1 = single(key, Y, inputs, model.x0, model.p0)
-    mean_1 = jnp.einsum("tn,tnd->td", res_1.weights, res_1.int_vars[0])
-    mean_s = np.asarray(res_s.int_var_mean[0])
+    iv_s, iv_1, tr_s, tr_1 = [], [], [], []
+    for s in range(K):
+        key_s = jax.random.fold_in(key, 1000 + s)
+        res_s = sharded(key_s, Y, inputs, model.x0, model.p0)
+        res_1 = single(key_s, Y, inputs, model.x0, model.p0)
+        iv_s.append(float(jnp.mean(res_s.int_var_mean[0][10:, 0])))
+        mean_1 = jnp.einsum("tn,tnd->td", res_1.weights, res_1.int_vars[0])
+        iv_1.append(float(jnp.mean(mean_1[10:, 0])))
+        tr_s.append(float(jnp.trace(res_s.stats_mean[0].T1[-1])))
+        w = res_1.weights[-1]
+        tr_1.append(float(jnp.trace(
+            jnp.einsum("n...,n->...", res_1.final_stats[0].T1, w)
+        )))
 
-    # both track the latent state; compare posterior means to each other
-    diff = np.abs(mean_s[5:, 0] - np.asarray(mean_1)[5:, 0])
-    assert np.mean(diff) < 2.0, np.mean(diff)  # MC noise at N=256
-
-    # weighted sufficient statistics agree at the end of the sweep
-    t1_s = np.asarray(res_s.stats_mean[0].T1[-1])
-    w = res_1.weights[-1]
-    t1_1 = np.asarray(
-        jnp.einsum("n...,n->...", res_1.final_stats[0].T1, w)
-    )
-    # relative Frobenius distance. The single-chip estimator's own
-    # seed-to-seed distance on this statistic is 0.43-0.85 at N=256
-    # (path-dependent accumulated stats have heavy MC variance), so the
-    # bound only rules out gross disagreement between the two schemes.
-    rel = np.linalg.norm(t1_s - t1_1) / np.linalg.norm(t1_1)
-    assert rel < 1.0, rel
+    for name, a, b in (("iv_mean", iv_s, iv_1), ("tr_T1", tr_s, tr_1)):
+        a, b = np.asarray(a), np.asarray(b)
+        se = np.sqrt((a.var(ddof=1) + b.var(ddof=1)) / K)
+        z = abs(a.mean() - b.mean()) / max(se, 1e-12)
+        # 4 sigma with K=8 replicates: fails with prob < 1e-4 under H0
+        assert z < 4.0, (name, z, a.mean(), b.mean(), se)
 
 
 def test_exact_global_systematic_matches_single_chip(mesh8):
@@ -229,3 +237,45 @@ def test_gspmd_gibbs_on_mesh(mesh8, toy_setup):
     iv_mean = np.asarray(out.int_vars[0][:, 6:, 0]).mean(axis=1)
     rmse = np.sqrt(np.mean((iv_mean[5:] - np.asarray(X)[5:, 0]) ** 2))
     assert rmse < 3.0, rmse
+
+
+def test_gspmd_gibbs_fused_on_mesh(mesh8):
+    """The FUSED scan-of-scans Gibbs sampler — one dispatch for the whole
+    chain — compiles and runs partitioned over 8 devices.
+
+    Uses a reduced basis count so the single fused XLA program stays within
+    what the 1-core CI simulator can compile; the host-loop variant at full
+    size is covered by test_gspmd_gibbs_on_mesh."""
+    from bipk_tpu.algorithms import build_apf as _build_apf, build_gibbs
+    from bipk_tpu.models import toy as toy_mod
+    from bipk_tpu.utils.matio import sample_reference_trajectory
+
+    cfg = toy_mod.ToyConfig(n_basis=12, n_particles=64, n_steps=16)
+    model = toy_mod.make_model(cfg)
+    key = jax.random.key(cfg.seed)
+    key, key_sim = jax.random.split(key)
+    X, Y = toy_mod.simulate(key_sim, cfg, dtype=jnp.float64)
+    inputs = jnp.zeros((cfg.n_steps, 0))
+
+    apf = jax.jit(
+        _build_apf(model.ssm, (model.gp,), cfg.n_particles, 1.0,
+                   dtype=jnp.float64)
+    )
+    key, key_a, key_t = jax.random.split(key, 3)
+    res = apf(key_a, Y, inputs, model.x0, model.p0)
+    ref_state, ref_iv = sample_reference_trajectory(key_t, res)
+
+    gibbs = jax.jit(
+        build_gibbs(
+            model.ssm, (model.gp,), cfg.n_particles, 8,
+            dtype=jnp.float64, mesh=mesh8, fused=True,
+        )
+    )
+    key, key_g = jax.random.split(key)
+    out = gibbs(key_g, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    assert out.states.shape == (cfg.n_steps, 8, 1)
+    assert np.all(np.isfinite(np.asarray(out.states)))
+    assert np.all(np.isfinite(np.asarray(out.log_likelihood)))
+    # the chain moves
+    diffs = np.abs(np.diff(np.asarray(out.states[:, :, 0]), axis=1)).mean(0)
+    assert np.all(diffs > 1e-6), diffs.min()
