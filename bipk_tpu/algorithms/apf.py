@@ -64,6 +64,8 @@ class APFKernel:
     ``int_vars`` tuple of ``(n_i, N)``, ``stats`` tuple of batch-last MNIW.
     """
 
+    _PACKED_GATHER_MAX_N = 262144
+
     def __init__(self, ssm: SSM, gps: Sequence[GPNode], dtype, mesh=None):
         self.ssm = ssm
         self.gps = _as_tuple(gps)
@@ -272,9 +274,17 @@ class APFKernel:
         step cost far more than their bytes. Flatten every leaf to rows,
         concatenate into one (K, N) matrix, gather once, split back.
         Profiled on the vehicle APF: 9.2 -> ~5 ms/step at N = 32768.
+
+        Above ``_PACKED_GATHER_MAX_N`` particles the per-op floor is
+        amortized and every gather is bandwidth-bound — there the
+        concatenate is a pure extra pass over the payload (and two extra
+        live copies of it, an OOM at 1M particles), so the per-leaf path
+        wins and is used instead.
         """
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         n = leaves[0].shape[-1]
+        if n >= APFKernel._PACKED_GATHER_MAX_N:
+            return APFKernel.gather(tree, idx)
         rows = [
             leaf.reshape((-1, n)) if leaf.ndim != 2 else leaf
             for leaf in leaves

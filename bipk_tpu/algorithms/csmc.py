@@ -73,13 +73,12 @@ def build_csmc(
     n_gp = kern.n_gp
     ms = tuple(gp.prior.T1.shape[0] for gp in kern.gps)
     if rank1 is None:
-        # the unrolled O(p^2) update chains blow up XLA compile time for
-        # large basis counts; those workloads run at small particle counts
-        # where the refactorize path is fine
-        rank1 = all(
-            m + gp.prior.T2.shape[0] <= 25
-            for m, gp in zip(ms, kern.gps)
-        )
+        # Opt-in for now: the O(p^2) math wins on paper, but the unrolled
+        # XLA lowering runs on 1-sublane (N,) vectors and measures SLOWER
+        # than the refactorize path on v5e (4.4 vs 1.3 s/sweep, vehicle
+        # 10240x1500) — it needs a fused Pallas update kernel to pay off.
+        # It also multiplies XLA compile time for large basis counts.
+        rank1 = False
     deterministic = ssm.is_deterministic
     process_chol = kern.process_chol
     if process_chol is not None:
@@ -118,17 +117,15 @@ def build_csmc(
         )
 
     def common_tail(
-        key, kern_factors_res, state, int_vars, ancestors,
-        inp_prev, inp_cur, obs, ref_x, ref_iv, ll_aux,
+        key, kern_factors_res, state_g, iv_g, ll_aux_g,
+        inp_prev, inp_cur, obs, ref_x, ref_iv,
     ):
-        """Propagate + pin + draw + pin, shared by both formulations."""
+        """Propagate + pin + draw + pin, shared by both formulations.
+
+        Takes already-gathered payloads (one fused gather upstream — see
+        ``APFKernel.packed_gather``)."""
         key, key_state = jax.random.split(key)
-        new_state = kern.propagate_all(
-            key_state,
-            kern.gather(state, ancestors),
-            inp_prev,
-            kern.gather(int_vars, ancestors),
-        )
+        new_state = kern.propagate_all(key_state, state_g, inp_prev, iv_g)
         new_state = new_state.at[:, -1].set(ref_x)
 
         key, key_iv = jax.random.split(key)
@@ -140,7 +137,7 @@ def build_csmc(
             for i in range(n_gp)
         )
         ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
-        new_log_weights = ll_new - ll_aux[ancestors]
+        new_log_weights = ll_new - ll_aux_g
         return new_state, new_iv, new_basis, new_log_weights
 
     # -- rank-1 factor-carry formulation ------------------------------------
@@ -185,22 +182,24 @@ def build_csmc(
         )
         ancestors = ancestors.at[-1].set(ref_idx)
 
-        F_g = kern.gather(Fs, ancestors)
-        df_g = tuple(d[ancestors] for d in dfs)
+        # one fused gather for every per-particle payload
+        state_g, iv_g, F_g, df_g, Fp_g, dfp_g, ll_aux_g = (
+            kern.packed_gather(
+                (state, int_vars, Fs, dfs, Fps, dfps, ll_aux), ancestors
+            )
+        )
         factors_res = tuple(
             cholup.aug_to_factor(F_g[i], df_g[i], ms[i]) for i in range(n_gp)
         )
         new_state, new_iv, new_basis, new_log_weights = common_tail(
-            key, factors_res, state, int_vars, ancestors,
-            inp_prev, inp_cur, obs, ref_x, ref_iv, ll_aux,
+            key, factors_res, state_g, iv_g, ll_aux_g,
+            inp_prev, inp_cur, obs, ref_x, ref_iv,
         )
 
         # --- O(p^2) factor maintenance instead of refactorization ---
         # data update [phi; y] per particle; the plus-factor additionally
         # downdates the reference's own contribution at this step
         # (parity: /root/reference/src/Algorithm3.py:162-174)
-        Fp_g = kern.gather(Fps, ancestors)
-        dfp_g = tuple(d[ancestors] for d in dfps)
         new_Fs, new_Fps = [], []
         for i in range(n_gp):
             z = jnp.concatenate([new_basis[i], new_iv[i]], axis=0)
@@ -272,14 +271,17 @@ def build_csmc(
         )
         ancestors = ancestors.at[-1].set(ref_idx)
 
-        factors_res = kern.gather(factors, ancestors)
+        # one fused gather; post-resampling factors recomputed from the
+        # gathered statistics (cheaper than moving the factor payload)
+        state_g, iv_g, stats_g, ll_aux_g = kern.packed_gather(
+            (state, int_vars, stats, ll_aux), ancestors
+        )
+        factors_res = kern.factorize_all(stats_g)
         new_state, new_iv, new_basis, new_log_weights = common_tail(
-            key, factors_res, state, int_vars, ancestors,
-            inp_prev, inp_cur, obs, ref_x, ref_iv, ll_aux,
+            key, factors_res, state_g, iv_g, ll_aux_g,
+            inp_prev, inp_cur, obs, ref_x, ref_iv,
         )
-        new_stats = kern.update_stats(
-            kern.gather(stats, ancestors), new_iv, new_basis
-        )
+        new_stats = kern.update_stats(stats_g, new_iv, new_basis)
 
         ref_T = ref_contribution(ref_x, ref_iv, inp_cur)
         new_ref_stats = tuple(

@@ -44,3 +44,30 @@ def mvn_sample_chol(key, mean, chol_cov, shape=()) -> jax.Array:
     dim = mean.shape[-1]
     z = jax.random.normal(key, (*shape, dim), dtype=mean.dtype)
     return mean + z @ jnp.atleast_2d(chol_cov).T
+
+
+def student_t(key, df, shape, dtype) -> jax.Array:
+    """Exact Student-t draws by the rejection-free polar method.
+
+    The radius R of the standard *bivariate* spherical t distribution has
+    survival function ``P(R > r) = (1 + r^2/nu)^{-nu/2}`` (closed-form
+    inverse), and the 1-D marginal of a spherical multivariate t keeps the
+    same degrees of freedom — so
+
+        t = sqrt(nu * (u^{-2/nu} - 1)) * cos(2 pi v),   u, v ~ U(0, 1)
+
+    is an exact t_nu sample (Bailey 1994, polar t generation). Replaces
+    ``jax.random.t`` in the filter hot path: the stock sampler draws the
+    chi-square mixing variable by gamma *rejection sampling*, which lowers
+    to an XLA while-loop costing ~0.15 ms/step inside the vehicle cSMC
+    sweep at N = 10240 on v5e; this is a handful of fusable transcendental
+    ops. Same distribution, different stream (parity is Monte-Carlo
+    statistical, as for all RNG in the rebuild — SURVEY.md §7 hard-parts).
+    """
+    key_u, key_v = jax.random.split(key)
+    df = jnp.asarray(df, dtype=dtype)
+    # u in (0, 1]: 1 - uniform[0, 1) avoids u = 0 -> overflow in u^{-2/nu}
+    u = 1.0 - jax.random.uniform(key_u, shape, dtype)
+    v = jax.random.uniform(key_v, shape, dtype)
+    r = jnp.sqrt(df * jnp.expm1(-(2.0 / df) * jnp.log(u)))
+    return r * jnp.cos((2.0 * math.pi) * v)

@@ -226,9 +226,11 @@ def sample_predictive(key: jax.Array, pred: Predictive) -> jax.Array:
     (``/root/reference/src/BayesianInferrence.py:92-108``): the draw is
     ``mean + chol(row_scale) t * sqrt(col_scale)`` with iid Student-t ``t``.
     """
+    from bipk_tpu.ops.gaussian import student_t
+
     chol_row = chol_spd(jnp.atleast_2d(pred.row_scale))
     n = chol_row.shape[0]
-    t = jax.random.t(key, pred.df, shape=(n,), dtype=chol_row.dtype)
+    t = student_t(key, pred.df, (n,), chol_row.dtype)
     return pred.mean + (chol_row @ t) * jnp.sqrt(pred.col_scale)
 
 
@@ -479,7 +481,9 @@ def sample_predictive_bl(
     df = factor.df + (1.0 - n)  # (N,)
     row_pred = factor.row_scale / df  # (n, n, N)
     chol_row = bla.chol_lower_bl(row_pred)
-    t = jax.random.t(key, df, shape=(n,) + df.shape, dtype=phi.dtype)
+    from bipk_tpu.ops.gaussian import student_t
+
+    t = student_t(key, df, (n,) + df.shape, phi.dtype)
     scaled = jnp.stack(
         [
             sum(chol_row[i, j] * t[j] for j in range(n))

@@ -53,7 +53,9 @@ class ShardedAPFResult(NamedTuple):
     ess: jax.Array  # (T,)
     final_state: jax.Array  # (N, dx) sharded over the mesh
     final_log_weights: jax.Array  # (N,) sharded
-    final_stats: tuple  # each MNIW with leading (N, ...) sharded
+    final_stats: tuple  # each MNIW batch-last (..., N), sharded. Kept in
+    # the compact lanes-last layout: (N, m, m) puts the m-sized dims into
+    # the (8, 128) tile, a 6.4x HBM padding bloat (~13 GB at 1M particles)
 
 
 def _global_softmax(lw):
@@ -72,6 +74,7 @@ def build_sharded_apf(
     forgetting_factor: float = 1.0,
     dtype=jnp.float32,
     resampling_scheme: str = "local",
+    chunk_size: int | None = None,
 ):
     """Build the particle-sharded online APF sweep.
 
@@ -80,6 +83,14 @@ def build_sharded_apf(
     ``bipk_tpu.algorithms.apf`` (Algorithm 1) with the sharded resampling
     scheme described in the module docstring (``resampling_scheme`` is
     ``"local"`` or ``"exact"``).
+
+    ``chunk_size`` microbatches the per-shard particle axis: the
+    per-particle pipeline (factorization, auxiliary look-ahead, draws,
+    statistics update) runs chunk by chunk so its temporaries never exceed
+    one chunk, while the carry, weights, and resampling stay global. This
+    caps HBM at ~2 full statistics copies + one chunk of temporaries —
+    the difference between OOM and 1M particles on a single v5e chip.
+    Auto-enabled above 262144 particles per shard (local scheme only).
     """
     if resampling_scheme not in ("local", "exact"):
         raise ValueError(
@@ -94,6 +105,25 @@ def build_sharded_apf(
             f"n_particles={n_particles} not divisible by mesh size {n_dev}"
         )
     n_loc = n_particles // n_dev
+    # chunk-size scan at 1M particles on v5e: 32k -> 3.35M psps,
+    # 64k -> 3.28M, 128k -> 2.81M, 256k -> 2.09M (smaller chunks keep the
+    # pipeline's working set closer to on-chip memory)
+    if chunk_size is None and n_loc > 262144:
+        chunk_size = 32768
+    if chunk_size is not None and chunk_size >= n_loc:
+        chunk_size = None
+    if chunk_size is not None:
+        if resampling_scheme != "local":
+            raise ValueError(
+                "chunked execution supports the local resampling scheme "
+                "only (at multi-chip scale the per-shard slice is small "
+                "enough not to need chunking)"
+            )
+        if n_loc % chunk_size:
+            raise ValueError(
+                f"per-shard particle count {n_loc} not divisible by "
+                f"chunk_size {chunk_size}"
+            )
 
     def reduce_moments(w_global, state, int_vars, stats):
         sm = jax.lax.psum(
@@ -190,12 +220,171 @@ def build_sharded_apf(
             moments = reduce_moments(w_new, new_state, new_iv, new_stats)
             return (new_log_weights, new_state, new_iv, new_stats), moments
 
+        # The chunked path carries statistics as FLAT (rows, N) leaves:
+        # TPU tiles pad the last two dims to (8, 128), so (m, 1, N) and
+        # (1, 1, N) leaves bloat 8x and (20, 20, N) 1.2x — at 1M particles
+        # that padding alone is ~2.5 GB of the HBM budget. Flat rows pad
+        # ~nothing and are also the fast layout for resampling gathers.
+        def _flatten_stats(stats_tuple):
+            return tuple(
+                mniw.MNIW(
+                    st.T0.reshape(-1, st.T0.shape[-1]),
+                    st.T1.reshape(-1, st.T1.shape[-1]),
+                    st.T2.reshape(-1, st.T2.shape[-1]),
+                    st.T3,
+                )
+                for st in stats_tuple
+            )
+
+        def _unflatten_stats(stats_flat):
+            out = []
+            for i, st in enumerate(stats_flat):
+                m = kern.priors[i].T1.shape[0]
+                n = kern.priors[i].T2.shape[0]
+                last = st.T0.shape[-1]
+                out.append(
+                    mniw.MNIW(
+                        st.T0.reshape(m, n, last),
+                        st.T1.reshape(m, m, last),
+                        st.T2.reshape(n, n, last),
+                        st.T3,
+                    )
+                )
+            return tuple(out)
+
+        def step_chunked(carry, xs):
+            """Microbatched step: identical semantics to ``step`` (local
+            scheme) with per-particle temporaries capped at one chunk.
+            ``stats`` leaves are flat (rows, N) in the carry."""
+            log_weights, state, int_vars, stats = carry
+            obs, inp_prev, inp_cur, key = xs
+            key_res, key_draws = jax.random.split(key)
+            key_base = jax.random.fold_in(key_draws, shard)
+            n_chunks = n_loc // chunk_size
+
+            def sl(tree, c):
+                return jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, c * chunk_size, chunk_size, axis=-1
+                    ),
+                    tree,
+                )
+
+            def st_chunk(buf, val, c):
+                return jax.tree_util.tree_map(
+                    lambda b, v: jax.lax.dynamic_update_slice_in_dim(
+                        b, v, c * chunk_size, axis=-1
+                    ),
+                    buf,
+                    val,
+                )
+
+            # phase 1: auxiliary log-likelihoods, chunk by chunk (the
+            # factors are recomputed in phase 2; keeping them for every
+            # chunk would defeat the memory cap)
+            def p1_body(c, ll_buf):
+                state_c, iv_c, stats_c = sl((state, int_vars, stats), c)
+                stats_c = _unflatten_stats(stats_c)
+                factors_c = kern.factorize_all(stats_c, forgetting_factor)
+                _, _, _, ll_aux_c = kern.auxiliary(
+                    state_c, iv_c, factors_c, inp_prev, inp_cur, obs,
+                    jnp.zeros((chunk_size,), dtype),
+                )
+                return jax.lax.dynamic_update_slice_in_dim(
+                    ll_buf, ll_aux_c, c * chunk_size, axis=0
+                )
+
+            ll_aux = jax.lax.fori_loop(
+                0, n_chunks, p1_body, jnp.zeros((n_loc,), dtype)
+            )
+            lw_aux = ll_aux + log_weights
+
+            w_global = _global_softmax(lw_aux)
+            shard_mass = jnp.sum(w_global)
+            w_local = w_global / jnp.maximum(shard_mass, 1e-30)
+            ancestors = resampling.systematic(
+                jax.random.fold_in(key_res, shard), w_local
+            )
+            offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
+
+            # phase 2: gather + propagate + draw + update, chunk by chunk;
+            # outputs stream into full-size buffers (the new carry)
+            zeros_like_full = jax.tree_util.tree_map(
+                jnp.zeros_like, (state, int_vars, stats)
+            )
+            ll_new0 = jnp.zeros((n_loc,), dtype)
+
+            def p2_body(c, bufs):
+                new_state_b, new_iv_b, new_stats_b, ll_new_b = bufs
+                idx_c = jax.lax.dynamic_slice_in_dim(
+                    ancestors, c * chunk_size, chunk_size, axis=0
+                )
+                state_g, iv_g, stats_g, ll_aux_g = kern.gather(
+                    (state, int_vars, stats, ll_aux), idx_c
+                )
+                stats_g = _unflatten_stats(stats_g)
+                factors_c = kern.factorize_all(stats_g, forgetting_factor)
+                kc = jax.random.fold_in(key_base, c)
+                kc_state, kc_iv = jax.random.split(kc)
+                new_state_c = kern.propagate_all(
+                    kc_state, state_g, inp_prev, iv_g
+                )
+                new_iv_c, new_basis_c = kern.draw_int_vars(
+                    kc_iv, factors_c, new_state_c, inp_cur
+                )
+                new_stats_c = _flatten_stats(kern.update_stats(
+                    stats_g, new_iv_c, new_basis_c, forgetting_factor
+                ))
+                ll_new_c = kern.log_lik_all(
+                    obs, new_state_c, inp_cur, new_iv_c
+                )
+                lw_c = ll_new_c - ll_aux_g + offset
+                return (
+                    st_chunk(new_state_b, new_state_c, c),
+                    st_chunk(new_iv_b, new_iv_c, c),
+                    st_chunk(new_stats_b, new_stats_c, c),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        ll_new_b, lw_c, c * chunk_size, axis=0
+                    ),
+                )
+
+            new_state, new_iv, new_stats, new_log_weights = (
+                jax.lax.fori_loop(
+                    0,
+                    n_chunks,
+                    p2_body,
+                    (*zeros_like_full, ll_new0),
+                )
+            )
+
+            w_new = _global_softmax(new_log_weights)
+            sm, ivm, stm_flat, ess = reduce_moments(
+                w_new, new_state, new_iv, new_stats
+            )
+            # reduced moments are small — reshape back to matrix form
+            stm = tuple(
+                mniw.MNIW(
+                    st.T0.reshape(kern.priors[i].T0.shape),
+                    st.T1.reshape(kern.priors[i].T1.shape),
+                    st.T2.reshape(kern.priors[i].T2.shape),
+                    st.T3,
+                )
+                for i, st in enumerate(stm_flat)
+            )
+            return (new_log_weights, new_state, new_iv, new_stats), (
+                sm, ivm, stm, ess
+            )
+
         n_steps = observations.shape[0]
         keys = jax.random.split(key, n_steps - 1)
         xs = (observations[1:], inputs[:-1], inputs[1:], keys)
-        carry0 = (log_weights, state, int_vars, stats)
-        carry, (sm, ivm, stm, ess) = jax.lax.scan(step, carry0, xs)
+        carry_stats = _flatten_stats(stats) if chunk_size is not None else stats
+        carry0 = (log_weights, state, int_vars, carry_stats)
+        step_fn = step if chunk_size is None else step_chunked
+        carry, (sm, ivm, stm, ess) = jax.lax.scan(step_fn, carry0, xs)
         final_log_w, final_state, _, final_stats = carry
+        if chunk_size is not None:
+            final_stats = _unflatten_stats(final_stats)
 
         w0 = _global_softmax(log_weights)
         sm0, ivm0, stm0, ess0 = reduce_moments(w0, state, int_vars, stats)
@@ -217,12 +406,17 @@ def build_sharded_apf(
             ess_tr,
             final_state.T,
             final_log_w,
-            tuple(mniw.from_batch_last(st) for st in final_stats),
+            tuple(final_stats),
         )
 
+    # final stats are batch-last: particle axis is the LAST dim of the
+    # 3-D leaves (and the only dim of T3)
     stats_spec = tuple(
         mniw.MNIW(
-            P(PARTICLE_AXIS), P(PARTICLE_AXIS), P(PARTICLE_AXIS), P(PARTICLE_AXIS)
+            P(None, None, PARTICLE_AXIS),
+            P(None, None, PARTICLE_AXIS),
+            P(None, None, PARTICLE_AXIS),
+            P(PARTICLE_AXIS),
         )
         for _ in range(n_gp)
     )

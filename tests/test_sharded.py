@@ -197,6 +197,32 @@ def test_sharded_apf_exact_mode(mesh8, toy_setup):
     assert rmse < 3.0, rmse
 
 
+def test_chunked_sharded_apf_matches_statistics(mesh8, toy_setup):
+    """Microbatched (chunked) execution is statistically equivalent to the
+    unchunked sharded sweep (different RNG stream, same estimator)."""
+    cfg, model, X, Y, inputs, key = toy_setup
+    run_c = jax.jit(
+        build_sharded_apf(
+            model.ssm, (model.gp,), cfg.n_particles, mesh8, 1.0,
+            dtype=jnp.float64, chunk_size=8,
+        )
+    )
+    res = run_c(key, Y, inputs, model.x0, model.p0)
+    assert np.all(np.isfinite(np.asarray(res.state_mean)))
+    ess = np.asarray(res.ess)
+    assert np.all(ess >= 1.0) and np.all(ess <= cfg.n_particles + 1e-6)
+    iv = np.asarray(res.int_var_mean[0][5:, 0])
+    rmse = np.sqrt(np.mean((iv - np.asarray(X)[5:, 0]) ** 2))
+    assert rmse < 3.0, rmse
+    # result contract: stats_mean in matrix form, final_stats batch-last
+    assert res.stats_mean[0].T1.shape == (
+        cfg.n_steps, cfg.n_basis, cfg.n_basis
+    )
+    assert res.final_stats[0].T1.shape == (
+        cfg.n_basis, cfg.n_basis, cfg.n_particles
+    )
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
