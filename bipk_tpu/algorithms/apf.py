@@ -212,6 +212,51 @@ class APFKernel:
         ll_aux = self.log_lik_all(obs, aux_state, inp_cur, aux_iv)
         return aux_state, aux_iv, ll_aux + log_weights, ll_aux
 
+    # -- fused factorize+project pieces (the factor never touches HBM) -----
+
+    def projected_all(self, stats, lam, basis):
+        """Per-GP fused factorization + predictive projection at ``basis``
+        (see ``mniw.factorize_project_bl``)."""
+        return tuple(
+            mniw.factorize_project_bl(
+                stats[i], basis[i], prior=self.priors[i], lam=lam,
+                use_pallas=self.use_pallas,
+            )
+            for i in range(self.n_gp)
+        )
+
+    def auxiliary_fused(
+        self, stats, lam, state, int_vars, inp_prev, inp_cur, obs,
+        log_weights,
+    ):
+        """Look-ahead states + first-stage weights, with the posterior-mean
+        projection fused into the factorization kernel. Returns the
+        per-GP :class:`mniw.ProjectedFactor` as the last element (the cSMC
+        ancestor weights read its log-determinants)."""
+        aux_state = self.transition_all(state, inp_prev, int_vars)
+        basis = tuple(
+            self.basis_all(i, aux_state, inp_cur) for i in range(self.n_gp)
+        )
+        fps = self.projected_all(stats, lam, basis)
+        aux_iv = tuple(fp.mean for fp in fps)
+        ll_aux = self.log_lik_all(obs, aux_state, inp_cur, aux_iv)
+        return aux_state, aux_iv, ll_aux + log_weights, ll_aux, fps
+
+    def draw_int_vars_fused(self, key, stats_g, lam, new_state, inp_cur):
+        """Predictive matrix-t draws with factorization + projection fused
+        (post-resampling factors are a deterministic function of the
+        gathered statistics — never materialized or gathered)."""
+        new_basis = tuple(
+            self.basis_all(i, new_state, inp_cur) for i in range(self.n_gp)
+        )
+        fps = self.projected_all(stats_g, lam, new_basis)
+        keys = jax.random.split(key, self.n_gp)
+        new_iv = tuple(
+            mniw.sample_projected_bl(keys[i], fps[i], self.dtype)
+            for i in range(self.n_gp)
+        )
+        return new_iv, new_basis
+
     def draw_int_vars(self, key, factors_res, new_state, inp_cur):
         keys = jax.random.split(key, self.n_gp)
         new_basis = tuple(
@@ -344,34 +389,32 @@ def build_apf(
         obs, inp_prev, inp_cur, key = xs
 
         # statistics time update (exponential forgetting) fused into the
-        # factorization and the later rank-1 update — the carried stats are
-        # scaled lazily, never in a standalone HBM pass
-        factors = kern.factorize_all(stats, forgetting_factor)
-
-        aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
-            state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
+        # factorization kernels and the later rank-1 update — the carried
+        # stats are scaled lazily, never in a standalone HBM pass; the
+        # factorization + posterior-mean projection run as one fused kernel
+        # whose m^2-sized factor never leaves VMEM
+        aux_state, aux_iv, lw_aux, ll_aux, _ = kern.auxiliary_fused(
+            stats, forgetting_factor, state, int_vars, inp_prev, inp_cur,
+            obs, log_weights,
         )
 
         key, key_res = jax.random.split(key)
         ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
 
         # one fused gather for every per-particle payload (see
-        # packed_gather: separate gathers are per-op latency-bound on TPU).
-        # The post-resampling factors are NOT gathered: they are a
-        # deterministic function of the gathered statistics, and
-        # re-factorizing (one cheap fused kernel) costs less than moving
-        # the factor payload through the gather.
+        # packed_gather: separate gathers are per-op latency-bound on TPU);
+        # post-resampling factors are a deterministic function of the
+        # gathered statistics and are re-derived inside the fused draw
         state_g, iv_g, stats_g, ll_aux_g = kern.packed_gather(
             (state, int_vars, stats, ll_aux), ancestors
         )
-        factors_res = kern.factorize_all(stats_g, forgetting_factor)
 
         key, key_state = jax.random.split(key)
         new_state = kern.propagate_all(key_state, state_g, inp_prev, iv_g)
 
         key, key_iv = jax.random.split(key)
-        new_iv, new_basis = kern.draw_int_vars(
-            key_iv, factors_res, new_state, inp_cur
+        new_iv, new_basis = kern.draw_int_vars_fused(
+            key_iv, stats_g, forgetting_factor, new_state, inp_cur
         )
         new_stats = kern.update_stats(
             stats_g, new_iv, new_basis, forgetting_factor

@@ -117,21 +117,21 @@ def build_csmc(
         )
 
     def common_tail(
-        key, kern_factors_res, state_g, iv_g, ll_aux_g,
+        key, draw_fn, state_g, iv_g, ll_aux_g,
         inp_prev, inp_cur, obs, ref_x, ref_iv,
     ):
         """Propagate + pin + draw + pin, shared by both formulations.
 
         Takes already-gathered payloads (one fused gather upstream — see
-        ``APFKernel.packed_gather``)."""
+        ``APFKernel.packed_gather``) and a ``draw_fn(key, new_state) ->
+        (new_iv, new_basis)`` closure (fused factorize+draw for the direct
+        path, augmented-factor draw for the rank-1 path)."""
         key, key_state = jax.random.split(key)
         new_state = kern.propagate_all(key_state, state_g, inp_prev, iv_g)
         new_state = new_state.at[:, -1].set(ref_x)
 
         key, key_iv = jax.random.split(key)
-        new_iv, new_basis = kern.draw_int_vars(
-            key_iv, kern_factors_res, new_state, inp_cur
-        )
+        new_iv, new_basis = draw_fn(key_iv, new_state)
         new_iv = tuple(
             new_iv[i].at[:, -1].set(jnp.atleast_1d(ref_iv[i]))
             for i in range(n_gp)
@@ -191,8 +191,12 @@ def build_csmc(
         factors_res = tuple(
             cholup.aug_to_factor(F_g[i], df_g[i], ms[i]) for i in range(n_gp)
         )
+
+        def draw_rank1(key_iv, new_state):
+            return kern.draw_int_vars(key_iv, factors_res, new_state, inp_cur)
+
         new_state, new_iv, new_basis, new_log_weights = common_tail(
-            key, factors_res, state_g, iv_g, ll_aux_g,
+            key, draw_rank1, state_g, iv_g, ll_aux_g,
             inp_prev, inp_cur, obs, ref_x, ref_iv,
         )
 
@@ -240,9 +244,9 @@ def build_csmc(
         log_weights, state, int_vars, stats, ref_stats = carry
         obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
 
-        factors = kern.factorize_all(stats)
-        aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
-            state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
+        aux_state, aux_iv, lw_aux, ll_aux, fps = kern.auxiliary_fused(
+            stats, 1.0, state, int_vars, inp_prev, inp_cur, obs,
+            log_weights,
         )
 
         key, key_res = jax.random.split(key)
@@ -262,7 +266,9 @@ def build_csmc(
                 ),
                 use_pallas=kern.use_pallas,
             )
-            without_future = mniw.log_base_measure_from_factor_bl(factors[i])
+            without_future = mniw.log_base_measure_from_projected_bl(
+                fps[i], ms[i]
+            )
             g_diff = g_diff + without_future - with_future
         h_x = transition_logpdf_to_ref(aux_state, ref_x, lw_aux)
         key, key_ref = jax.random.split(key)
@@ -276,9 +282,14 @@ def build_csmc(
         state_g, iv_g, stats_g, ll_aux_g = kern.packed_gather(
             (state, int_vars, stats, ll_aux), ancestors
         )
-        factors_res = kern.factorize_all(stats_g)
+
+        def draw_direct(key_iv, new_state):
+            return kern.draw_int_vars_fused(
+                key_iv, stats_g, 1.0, new_state, inp_cur
+            )
+
         new_state, new_iv, new_basis, new_log_weights = common_tail(
-            key, factors_res, state_g, iv_g, ll_aux_g,
+            key, draw_direct, state_g, iv_g, ll_aux_g,
             inp_prev, inp_cur, obs, ref_x, ref_iv,
         )
         new_stats = kern.update_stats(stats_g, new_iv, new_basis)

@@ -407,6 +407,120 @@ def factorize_scaled_bl(
     return factorize_bl(nat, jitter=jitter, use_pallas=False)
 
 
+class ProjectedFactor(NamedTuple):
+    """Per-particle matrix-t predictive pieces at one basis vector, plus
+    the log-determinants of the underlying MNIW — everything a filter step
+    needs downstream of the factorization, WITHOUT the factor itself.
+
+    Produced by :func:`factorize_project_bl`; shapes (batch-last):
+    ``mean (n, N)``, ``col_scale (N,)``, ``row_scale (n, n, N)``,
+    ``logdet_T1 (N,)``, ``logdet_Psi (N,)``, ``df (N,)``.
+    """
+
+    mean: jax.Array
+    col_scale: jax.Array
+    row_scale: jax.Array
+    logdet_T1: jax.Array
+    logdet_Psi: jax.Array
+    df: jax.Array
+
+
+def factorize_project_bl(
+    stats: MNIW,
+    phi: jax.Array,
+    prior: MNIW | None = None,
+    lam: float = 1.0,
+    jitter: float | None = None,
+    use_pallas: bool | None = None,
+) -> ProjectedFactor:
+    """Factor ``prior + lam * stats`` and project at ``phi`` in one pass.
+
+    The fused Pallas kernel keeps the Cholesky factor entirely on-chip and
+    emits only the small per-particle outputs (predictive mean/scales and
+    log-determinants); the m^2-sized factor never touches HBM. The XLA
+    fallback composes :func:`factorize_scaled_bl` with triangular solves —
+    identical math.
+    """
+    if jitter is None:
+        jitter = _default_jitter(stats.T1.dtype)
+    df = stats.T3 * lam + (prior.T3 if prior is not None else 0.0)
+    n = stats.T2.shape[0]
+    if (
+        n <= 2
+        and phi.ndim == 2
+        and _pallas_ok(stats, use_pallas, m=stats.T1.shape[0])
+    ):
+        from bipk_tpu.ops import pallas_kernels
+
+        prior_blocks = (
+            (prior.T0, prior.T1, prior.T2) if prior is not None else None
+        )
+        mean, col, row, ld1, ldp = pallas_kernels.factorize_project_blocks(
+            stats.T0, stats.T1, stats.T2, phi, float(jitter), float(lam),
+            prior_blocks,
+        )
+        return ProjectedFactor(mean, col, row, ld1, ldp, df)
+    f = factorize_scaled_bl(
+        stats, prior=prior, lam=lam, jitter=jitter, use_pallas=False
+    )
+    v = bla.solve_lower_bl(f.chol, phi)
+    mean = jnp.stack(
+        [jnp.sum(f.white_T0[:, c] * v, axis=0) for c in range(n)]
+    )
+    col = jnp.sum(v * v, axis=0) + 1.0
+    ld1 = bla.logdet_from_chol_bl(f.chol)
+    psi = f.row_scale
+    if n == 1:
+        ldp = jnp.log(psi[0, 0])
+    elif n == 2:
+        off = 0.5 * (psi[0, 1] + psi[1, 0])
+        ldp = jnp.log(psi[0, 0] * psi[1, 1] - off * off)
+    else:
+        sym = 0.5 * (psi + jnp.swapaxes(psi, 0, 1))
+        ldp = bla.logdet_from_chol_bl(bla.chol_lower_bl(sym))
+    return ProjectedFactor(mean, col, psi, ld1, ldp, df)
+
+
+def sample_projected_bl(
+    key: jax.Array, fp: ProjectedFactor, dtype
+) -> jax.Array:
+    """Matrix-t draw from a :class:`ProjectedFactor` (batch-last).
+
+    Identical semantics to :func:`sample_predictive_bl` — the reference's
+    ``prior_mniw_drawPred`` (``/root/reference/src/BayesianInferrence.py:
+    92-108``) — given the fused factorize+project outputs.
+    """
+    from bipk_tpu.ops.gaussian import student_t
+
+    n = fp.row_scale.shape[0]
+    df_pred = fp.df + (1.0 - n)
+    row_pred = fp.row_scale / df_pred
+    chol_row = bla.chol_lower_bl(row_pred)
+    t = student_t(key, df_pred, (n,) + df_pred.shape, dtype)
+    scaled = jnp.stack(
+        [
+            sum(chol_row[i, j] * t[j] for j in range(n))
+            for i in range(n)
+        ]
+    )
+    return fp.mean + scaled * jnp.sqrt(fp.col_scale)
+
+
+def log_base_measure_from_projected_bl(
+    fp: ProjectedFactor, m: int
+) -> jax.Array:
+    """MNIW log base measure from fused factorize+project outputs
+    (batch-last; identical math to :func:`log_base_measure_bl`)."""
+    n = fp.row_scale.shape[0]
+    nu = fp.df
+    out = -0.5 * n * m * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype=nu.dtype))
+    out = out + 0.5 * n * fp.logdet_T1
+    out = out - 0.5 * nu * n * jnp.log(jnp.asarray(2.0, dtype=nu.dtype))
+    out = out - jsp.special.multigammaln(nu / 2.0, n)
+    out = out + 0.5 * nu * fp.logdet_Psi
+    return out
+
+
 def log_base_measure_from_factor_bl(factor: MNIWFactor) -> jax.Array:
     """Batch-last :func:`log_base_measure` from an existing factorization.
 

@@ -171,9 +171,9 @@ def build_sharded_apf(
                 jax.random.fold_in(key_draws, shard)
             )
 
-            factors = kern.factorize_all(stats, forgetting_factor)
-            aux_state, aux_iv, lw_aux, ll_aux = kern.auxiliary(
-                state, int_vars, factors, inp_prev, inp_cur, obs, log_weights
+            aux_state, aux_iv, lw_aux, ll_aux, _ = kern.auxiliary_fused(
+                stats, forgetting_factor, state, int_vars, inp_prev,
+                inp_cur, obs, log_weights,
             )
 
             w_global = _global_softmax(lw_aux)
@@ -203,11 +203,10 @@ def build_sharded_apf(
                     (state, int_vars, stats, ll_aux), ancestors
                 )
                 offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
-            factors_r = kern.factorize_all(stats_r, forgetting_factor)
 
             new_state = kern.propagate_all(key_state, state_r, inp_prev, iv_r)
-            new_iv, new_basis = kern.draw_int_vars(
-                key_iv, factors_r, new_state, inp_cur
+            new_iv, new_basis = kern.draw_int_vars_fused(
+                key_iv, stats_r, forgetting_factor, new_state, inp_cur
             )
             new_stats = kern.update_stats(
                 stats_r, new_iv, new_basis, forgetting_factor
@@ -285,10 +284,9 @@ def build_sharded_apf(
             def p1_body(c, ll_buf):
                 state_c, iv_c, stats_c = sl((state, int_vars, stats), c)
                 stats_c = _unflatten_stats(stats_c)
-                factors_c = kern.factorize_all(stats_c, forgetting_factor)
-                _, _, _, ll_aux_c = kern.auxiliary(
-                    state_c, iv_c, factors_c, inp_prev, inp_cur, obs,
-                    jnp.zeros((chunk_size,), dtype),
+                _, _, _, ll_aux_c, _ = kern.auxiliary_fused(
+                    stats_c, forgetting_factor, state_c, iv_c, inp_prev,
+                    inp_cur, obs, jnp.zeros((chunk_size,), dtype),
                 )
                 return jax.lax.dynamic_update_slice_in_dim(
                     ll_buf, ll_aux_c, c * chunk_size, axis=0
@@ -323,14 +321,13 @@ def build_sharded_apf(
                     (state, int_vars, stats, ll_aux), idx_c
                 )
                 stats_g = _unflatten_stats(stats_g)
-                factors_c = kern.factorize_all(stats_g, forgetting_factor)
                 kc = jax.random.fold_in(key_base, c)
                 kc_state, kc_iv = jax.random.split(kc)
                 new_state_c = kern.propagate_all(
                     kc_state, state_g, inp_prev, iv_g
                 )
-                new_iv_c, new_basis_c = kern.draw_int_vars(
-                    kc_iv, factors_c, new_state_c, inp_cur
+                new_iv_c, new_basis_c = kern.draw_int_vars_fused(
+                    kc_iv, stats_g, forgetting_factor, new_state_c, inp_cur
                 )
                 new_stats_c = _flatten_stats(kern.update_stats(
                     stats_g, new_iv_c, new_basis_c, forgetting_factor
