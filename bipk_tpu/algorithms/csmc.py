@@ -12,16 +12,19 @@ batch-last layout (see ``bipk_tpu.algorithms.apf``), and the backward
 ancestral reconstruction (host numpy in the reference,
 ``/root/reference/src/Filtering.py:40-55``) as a reverse scan on device.
 
-Architectural delta (TPU-first): because Algorithm 3 pins the forgetting
-factor to 1.0 (``Algorithm3.py:29-41``), each particle's ``prior + stats``
-evolves purely by rank-1 data updates and the reference-future bookkeeping
-purely by rank-1 decrements. The default ``rank1=True`` path therefore
-carries **augmented Cholesky factors** (:mod:`bipk_tpu.ops.cholup`) through
-the scan and maintains them in O(p^2) per step, eliminating all three
-per-step O(p^3) factorization-class kernels the direct formulation needs
-(posterior factorization + the two log-base-measure factorizations of
-``Algorithm3.py:92-106``). ``rank1=False`` keeps the refactorize-per-step
-formulation for A/B validation.
+Architectural delta (TPU-first): the default (direct) formulation runs the
+factorization-class work as fused Pallas kernels whose factors never touch
+HBM (``mniw.factorize_project_bl``), with one packed resampling gather per
+step. Because Algorithm 3 pins the forgetting factor to 1.0
+(``Algorithm3.py:29-41``), each particle's ``prior + stats`` also evolves
+purely by rank-1 data updates and the reference-future bookkeeping purely
+by rank-1 decrements; the opt-in ``rank1=True`` path carries **augmented
+Cholesky factors** (:mod:`bipk_tpu.ops.cholup`) through the scan and
+maintains them in O(p^2) per step. The rank-1 path is exact (verified
+bitwise vs the direct path on f64, ``tests/test_cholup.py``) but its
+unrolled XLA lowering currently runs on 1-sublane vectors and measures
+slower than the fused direct path on v5e — it becomes the default once it
+gets its own fused update kernel.
 
 Deviation: for deterministic transitions (zero process noise — the toy
 example) the reference evaluates a Gaussian transition density with singular

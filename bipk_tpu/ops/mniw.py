@@ -319,7 +319,10 @@ def _gram_bl(W: jax.Array) -> jax.Array:
     )
 
 
-def _pallas_ok(nat_or_dtype, use_pallas=None, m: int | None = None) -> bool:
+def _pallas_ok(
+    nat_or_dtype, use_pallas=None, m: int | None = None,
+    small_out: bool = False,
+) -> bool:
     if use_pallas is False:
         return False
     dtype = getattr(nat_or_dtype, "dtype", None) or nat_or_dtype.T1.dtype
@@ -327,8 +330,14 @@ def _pallas_ok(nat_or_dtype, use_pallas=None, m: int | None = None) -> bool:
         return False
     from bipk_tpu.ops import pallas_kernels
 
-    if m is not None and not pallas_kernels.supported(m):
-        return False
+    if m is not None:
+        ok = (
+            pallas_kernels.supported_small_out(m)
+            if small_out
+            else pallas_kernels.supported(m)
+        )
+        if not ok:
+            return False
     return pallas_kernels.enabled()
 
 
@@ -448,7 +457,8 @@ def factorize_project_bl(
     if (
         n <= 2
         and phi.ndim == 2
-        and _pallas_ok(stats, use_pallas, m=stats.T1.shape[0])
+        and _pallas_ok(stats, use_pallas, m=stats.T1.shape[0],
+                       small_out=True)
     ):
         from bipk_tpu.ops import pallas_kernels
 
@@ -622,7 +632,7 @@ def log_base_measure_bl(nat: MNIW, use_pallas: bool | None = None) -> jax.Array:
     n = nat.T2.shape[0]
     m = nat.T1.shape[0]
     jitter = _default_jitter(nat.T1.dtype)
-    if n <= 2 and _pallas_ok(nat, use_pallas, m=m):
+    if n <= 2 and _pallas_ok(nat, use_pallas, m=m, small_out=True):
         from bipk_tpu.ops import pallas_kernels
 
         logdet_T1, logdet_Psi = pallas_kernels.log_base_measure_logdets(

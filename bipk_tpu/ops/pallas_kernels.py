@@ -35,16 +35,26 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 _ROWS = 8  # f32 sublane count: values are full (8, 128) tiles
 _BLOCK = _ROWS * _LANES  # 1024 particles per kernel instance
+_BLOCK_1D = 512  # particles per instance in the 1-D fallback layout
 # (m, m, 8, 128) in + out blocks + live temporaries must fit ~16 MB VMEM
-# with double buffering; m = 24 peaks around 12 MB. Larger matrices use the
-# unrolled-XLA path (ops.batched_linalg) — every large-m workload in the
-# suite runs at small particle counts where kernel fusion no longer pays.
+# with double buffering; m = 24 peaks around 12 MB.
 _MAX_M = 24
+# Kernels WITHOUT m^2-sized outputs (fused project, log-base-measure) can
+# go further using 1-D (512,) particle blocks: one sublane of eight (8x
+# less VPU width) but still one fused kernel instead of hundreds of XLA
+# launches — ~10x faster than the unrolled-XLA path for the m = 40/41
+# workloads (toy, single-mass oscillator) on TPU.
+_MAX_M_1D = 48
 
 
 def supported(m: int) -> bool:
-    """Whether the fused kernels handle an m x m factorization."""
+    """Whether the fused kernels with m^2-sized outputs handle this m."""
     return m <= _MAX_M
+
+
+def supported_small_out(m: int) -> bool:
+    """Whether the small-output fused kernels handle this m."""
+    return m <= _MAX_M_1D
 
 
 def enabled() -> bool:
@@ -64,25 +74,34 @@ def _pad_last(x, total):
     return jnp.pad(x, widths, constant_values=1.0)
 
 
-def _blockify(x, total):
-    """Pad the trailing particle axis and split it into (rows, lanes) so
-    kernel values are full (8, 128) tiles."""
+def _blockify(x, total, tiled=True):
+    """Pad the trailing particle axis and, for the tiled layout, split it
+    into (rows, lanes) so kernel values are full (8, 128) tiles."""
     x = _pad_last(x, total)
-    return x.reshape(x.shape[:-1] + (total // _LANES, _LANES))
+    if tiled:
+        return x.reshape(x.shape[:-1] + (total // _LANES, _LANES))
+    return x
 
 
-def _spec(lead):
-    """BlockSpec for an array with leading dims ``lead`` + particle tiles."""
+def _spec(lead, tiled=True):
+    """BlockSpec for an array with leading dims ``lead`` + particle axis."""
     zeros = (0,) * len(lead)
+    if tiled:
+        return pl.BlockSpec(
+            (*lead, _ROWS, _LANES),
+            lambda i, _z=zeros: (*_z, i, 0),
+            memory_space=pltpu.VMEM,
+        )
     return pl.BlockSpec(
-        (*lead, _ROWS, _LANES),
-        lambda i, _z=zeros: (*_z, i, 0),
+        (*lead, _BLOCK_1D),
+        lambda i, _z=zeros: (*_z, i),
         memory_space=pltpu.VMEM,
     )
 
 
-def _unblock(x, n):
-    x = x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+def _unblock(x, n, tiled=True):
+    if tiled:
+        x = x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
     return x[..., :n]
 
 
@@ -397,9 +416,16 @@ def factorize_project_blocks(T0, T1, T2, phi, jitter: float,
     ``(mean (n, N), col_scale (N,), row_scale (n, n, N),
     logdet_T1 (N,), logdet_Psi (N,))``."""
     m, n, N = T0.shape[0], T0.shape[1], T0.shape[-1]
-    assert supported(m), f"m={m} exceeds the fused-kernel VMEM budget"
-    total = -(-N // _BLOCK) * _BLOCK
-    grid = (total // _BLOCK,)
+    assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
+    tiled = supported(m)
+    block = _BLOCK if tiled else _BLOCK_1D
+    total = -(-N // block) * block
+    grid = (total // block,)
+
+    def shp(*lead):
+        if tiled:
+            return (*lead, total // _LANES, _LANES)
+        return (*lead, total)
 
     has_prior = prior is not None
     if has_prior:
@@ -418,29 +444,30 @@ def factorize_project_blocks(T0, T1, T2, phi, jitter: float,
         ),
         grid=grid,
         in_specs=[
-            _spec((m, n)), _spec((m, m)), _spec((n, n)),
-            *prior_specs, _spec((m,)),
+            _spec((m, n), tiled), _spec((m, m), tiled), _spec((n, n), tiled),
+            *prior_specs, _spec((m,), tiled),
         ],
-        out_specs=[_spec((n,)), _spec((1,)), _spec((n, n)), _spec((2,))],
+        out_specs=[
+            _spec((n,), tiled), _spec((1,), tiled), _spec((n, n), tiled),
+            _spec((2,), tiled),
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, total // _LANES, _LANES), T0.dtype),
-            jax.ShapeDtypeStruct((1, total // _LANES, _LANES), T0.dtype),
-            jax.ShapeDtypeStruct(
-                (n, n, total // _LANES, _LANES), T2.dtype
-            ),
-            jax.ShapeDtypeStruct((2, total // _LANES, _LANES), T1.dtype),
+            jax.ShapeDtypeStruct(shp(n), T0.dtype),
+            jax.ShapeDtypeStruct(shp(1), T0.dtype),
+            jax.ShapeDtypeStruct(shp(n, n), T2.dtype),
+            jax.ShapeDtypeStruct(shp(2), T1.dtype),
         ],
     )(
-        _blockify(T0, total),
-        _blockify(T1, total),
-        _blockify(T2, total),
+        _blockify(T0, total, tiled),
+        _blockify(T1, total, tiled),
+        _blockify(T2, total, tiled),
         p0, p1, p2,
-        _blockify(phi, total),
+        _blockify(phi, total, tiled),
     )
-    mean = _unblock(mean, N)
-    col = _unblock(col, N)[0]
-    row = _unblock(row, N)
-    ld = _unblock(ld, N)
+    mean = _unblock(mean, N, tiled)
+    col = _unblock(col, N, tiled)[0]
+    row = _unblock(row, N, tiled)
+    ld = _unblock(ld, N, tiled)
     return mean, col, row, ld[0], ld[1]
 
 
@@ -475,22 +502,27 @@ def log_base_measure_logdets(T0, T1, T2, jitter: float):
     """Fused log-determinant pieces: returns ``(logdet_T1, logdet_Psi)``
     each ``(N,)`` where ``Psi = T2 - T0^T sym(T1)^{-1} T0``."""
     m, n, N = T0.shape[0], T0.shape[1], T0.shape[-1]
-    assert supported(m), f"m={m} exceeds the fused-kernel VMEM budget"
-    total = -(-N // _BLOCK) * _BLOCK
-    grid = (total // _BLOCK,)
+    assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
+    tiled = supported(m)
+    block = _BLOCK if tiled else _BLOCK_1D
+    total = -(-N // block) * block
+    grid = (total // block,)
+    out_shape = (
+        (2, total // _LANES, _LANES) if tiled else (2, total)
+    )
 
     out = pl.pallas_call(
         functools.partial(_log_base_measure_kernel, m=m, n=n, jitter=jitter),
         grid=grid,
-        in_specs=[_spec((m, n)), _spec((m, m)), _spec((n, n))],
-        out_specs=_spec((2,)),
-        out_shape=jax.ShapeDtypeStruct(
-            (2, total // _LANES, _LANES), T1.dtype
-        ),
+        in_specs=[
+            _spec((m, n), tiled), _spec((m, m), tiled), _spec((n, n), tiled)
+        ],
+        out_specs=_spec((2,), tiled),
+        out_shape=jax.ShapeDtypeStruct(out_shape, T1.dtype),
     )(
-        _blockify(T0, total),
-        _blockify(T1, total),
-        _blockify(T2, total),
+        _blockify(T0, total, tiled),
+        _blockify(T1, total, tiled),
+        _blockify(T2, total, tiled),
     )
-    out = _unblock(out, N)
+    out = _unblock(out, N, tiled)
     return out[0], out[1]
