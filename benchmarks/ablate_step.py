@@ -75,17 +75,19 @@ def main():
 
     run_variant("no-resample", {(resampling, "systematic"): identity_resample})
 
-    # no factorization (identity factor)
-    def cheap_factorize(stats, prior=None, lam=1.0, jitter=None,
-                        use_pallas=None):
-        m = stats.T1.shape[0]
-        eye = jnp.broadcast_to(
-            jnp.eye(m, dtype=stats.T1.dtype)[:, :, None], stats.T1.shape
+    # no factorization (trivial projected factor)
+    def cheap_project(stats, phi, prior=None, lam=1.0, jitter=None,
+                      use_pallas=None):
+        n = stats.T2.shape[0]
+        N = stats.T3.shape[-1]
+        zeros = jnp.zeros((n, N), stats.T0.dtype)
+        ones = jnp.ones((N,), stats.T0.dtype)
+        return mniw.ProjectedFactor(
+            zeros, ones, stats.T2, ones, ones, stats.T3
         )
-        return mniw.MNIWFactor(eye, stats.T0, stats.T2, stats.T3)
 
     run_variant(
-        "no-factorize", {(mniw, "factorize_scaled_bl"): cheap_factorize}
+        "no-factorize", {(mniw, "factorize_project_bl"): cheap_project}
     )
 
 
