@@ -273,17 +273,20 @@ class APFKernel:
 
     def update_stats(self, stats_res, new_iv, new_basis, lam: float = 1.0):
         """Rank-1 statistics update ``lam * stats + suff_stat`` (the
-        forgetting scale fuses into the existing read-modify-write)."""
+        forgetting scale fuses into the existing read-modify-write).
+        Handles structured and flat statistics layouts."""
+        flat = stats_res[0].T1.ndim == 2
+        suff = mniw.suff_stat_flat_bl if flat else mniw.suff_stat_bl
         if lam == 1.0:
             return tuple(
-                stats_res[i] + mniw.suff_stat_bl(new_iv[i], new_basis[i])
+                stats_res[i] + suff(new_iv[i], new_basis[i])
                 for i in range(self.n_gp)
             )
         return tuple(
             jax.tree_util.tree_map(
                 lambda s, d: s * lam + d,
                 stats_res[i],
-                mniw.suff_stat_bl(new_iv[i], new_basis[i]),
+                suff(new_iv[i], new_basis[i]),
             )
             for i in range(self.n_gp)
         )
@@ -351,12 +354,26 @@ class APFKernel:
 
     def weighted_stats(self, stats, weights):
         """Importance-weighted mean of per-particle statistics (host-side
-        per-step einsum in the reference, ``Algorithm1.py:446-457``)."""
-        return tuple(
+        per-step einsum in the reference, ``Algorithm1.py:446-457``).
+        Accepts structured or flat statistics; the (small) reduced means
+        are always returned in matrix form."""
+        flat = stats[0].T1.ndim == 2
+        out = tuple(
             jax.tree_util.tree_map(
                 lambda s: jnp.tensordot(s, weights, axes=(-1, 0)), st
             )
             for st in stats
+        )
+        if not flat:
+            return out
+        return tuple(
+            mniw.MNIW(
+                st.T0.reshape(self.priors[i].T0.shape),
+                st.T1.reshape(self.priors[i].T1.shape),
+                st.T2.reshape(self.priors[i].T2.shape),
+                st.T3,
+            )
+            for i, st in enumerate(out)
         )
 
 
@@ -448,10 +465,20 @@ def build_apf(
 
         keys = jax.random.split(key, n_steps - 1)
         xs = (observations[1:], inputs[:-1], inputs[1:], keys)
-        carry0 = (log_w0, state0, iv0, stats0)
+        # statistics ride the scan in flat (rows, N) layout: near-zero TPU
+        # tile padding and no relayout copies between the step's passes
+        carry0 = (
+            log_w0, state0, iv0,
+            tuple(mniw.to_flat_bl(st) for st in stats0),
+        )
         carry, emits = jax.lax.scan(step, carry0, xs)
         state_tr, iv_tr, log_w_tr, ancestors, stats_mean_tr, ess_tr = emits
-        final_stats_bl = carry[3]
+        final_stats_bl = tuple(
+            mniw.from_flat_bl(
+                st, kern.priors[i].T1.shape[0], kern.priors[i].T2.shape[0]
+            )
+            for i, st in enumerate(carry[3])
+        )
 
         states = jnp.concatenate([state0.T[None], state_tr])
         int_vars = tuple(

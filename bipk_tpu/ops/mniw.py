@@ -449,16 +449,21 @@ def factorize_project_bl(
     log-determinants); the m^2-sized factor never touches HBM. The XLA
     fallback composes :func:`factorize_scaled_bl` with triangular solves —
     identical math.
+
+    ``stats`` may be structured (leaves ``(m, n, N)`` etc.) or flat
+    (leaves ``(m*n, N)`` etc., see :func:`to_flat_bl`) — the flat layout
+    avoids TPU tile-padding relayouts between the filter-step passes.
     """
     if jitter is None:
         jitter = _default_jitter(stats.T1.dtype)
     df = stats.T3 * lam + (prior.T3 if prior is not None else 0.0)
-    n = stats.T2.shape[0]
+    flat = stats.T1.ndim == 2
+    m = phi.shape[0]
+    n = (stats.T0.shape[0] // m) if flat else stats.T2.shape[0]
     if (
         n <= 2
         and phi.ndim == 2
-        and _pallas_ok(stats, use_pallas, m=stats.T1.shape[0],
-                       small_out=True)
+        and _pallas_ok(stats, use_pallas, m=m, small_out=True)
     ):
         from bipk_tpu.ops import pallas_kernels
 
@@ -467,9 +472,11 @@ def factorize_project_bl(
         )
         mean, col, row, ld1, ldp = pallas_kernels.factorize_project_blocks(
             stats.T0, stats.T1, stats.T2, phi, float(jitter), float(lam),
-            prior_blocks,
+            prior_blocks, m=m, n=n,
         )
         return ProjectedFactor(mean, col, row, ld1, ldp, df)
+    if flat:
+        stats = from_flat_bl(stats, m, n)
     f = factorize_scaled_bl(
         stats, prior=prior, lam=lam, jitter=jitter, use_pallas=False
     )
@@ -627,18 +634,86 @@ def suff_stat_bl(y: jax.Array, phi: jax.Array) -> MNIW:
     )
 
 
-def log_base_measure_bl(nat: MNIW, use_pallas: bool | None = None) -> jax.Array:
-    """Batch-last :func:`log_base_measure`: returns ``(N,)``."""
-    n = nat.T2.shape[0]
-    m = nat.T1.shape[0]
+# ---------------------------------------------------------------------------
+# Flat batch-last layout: leaves (m*n, N), (m*m, N), (n*n, N), (N,).
+#
+# TPU (8, 128) tiling pads the second-to-last dim of every array to a
+# multiple of 8 — an (m, 1, N) leaf bloats 8x and (m, m, N) by m -> 8k.
+# Row-flattened leaves pad ~nothing, are the fast layout for resampling
+# gathers, and avoid relayout copies between the per-step passes. The
+# fused kernels read them with index arithmetic (``flat=True``).
+# ---------------------------------------------------------------------------
+
+
+def to_flat_bl(nat: MNIW) -> MNIW:
+    """Structured batch-last leaves -> flat rows (one-time relayout)."""
+    last = nat.T0.shape[-1]
+    return MNIW(
+        nat.T0.reshape(-1, last),
+        nat.T1.reshape(-1, last),
+        nat.T2.reshape(-1, last),
+        nat.T3,
+    )
+
+
+def from_flat_bl(nat: MNIW, m: int, n: int) -> MNIW:
+    """Flat rows -> structured batch-last leaves (one-time relayout)."""
+    last = nat.T0.shape[-1]
+    return MNIW(
+        nat.T0.reshape(m, n, last),
+        nat.T1.reshape(m, m, last),
+        nat.T2.reshape(n, n, last),
+        nat.T3,
+    )
+
+
+def suff_stat_flat_bl(y: jax.Array, phi: jax.Array) -> MNIW:
+    """Rank-1 statistics in flat layout: ``y (n, N)``, ``phi (m, N)`` ->
+    leaves ``(m*n, N)``, ``(m*m, N)``, ``(n*n, N)``, ``(N,)``.
+
+    Row ``i*n + c`` of T0 is ``phi_i y_c`` etc. — built from static-index
+    row gathers of the small inputs so no padded (m, 1, N)/(m, m, N)
+    intermediate is ever materialized.
+    """
+    import numpy as _np
+
+    m = phi.shape[0]
+    n = y.shape[0]
+    ar_m = _np.arange(m)
+    ar_n = _np.arange(n)
+    T0 = jnp.take(phi, _np.repeat(ar_m, n), axis=0) * jnp.take(
+        y, _np.tile(ar_n, m), axis=0
+    )
+    T1 = jnp.take(phi, _np.repeat(ar_m, m), axis=0) * jnp.take(
+        phi, _np.tile(ar_m, m), axis=0
+    )
+    T2 = jnp.take(y, _np.repeat(ar_n, n), axis=0) * jnp.take(
+        y, _np.tile(ar_n, n), axis=0
+    )
+    return MNIW(T0, T1, T2, jnp.ones(phi.shape[-1], dtype=phi.dtype))
+
+
+def log_base_measure_bl(
+    nat: MNIW, use_pallas: bool | None = None,
+    m: int | None = None, n: int | None = None,
+) -> jax.Array:
+    """Batch-last :func:`log_base_measure`: returns ``(N,)``.
+
+    ``nat`` may be structured or flat (pass ``m``/``n`` for flat leaves)."""
+    flat = nat.T1.ndim == 2
+    if not flat:
+        n = nat.T2.shape[0]
+        m = nat.T1.shape[0]
     jitter = _default_jitter(nat.T1.dtype)
     if n <= 2 and _pallas_ok(nat, use_pallas, m=m, small_out=True):
         from bipk_tpu.ops import pallas_kernels
 
         logdet_T1, logdet_Psi = pallas_kernels.log_base_measure_logdets(
-            nat.T0, nat.T1, nat.T2, float(jitter)
+            nat.T0, nat.T1, nat.T2, float(jitter), m=m, n=n
         )
     else:
+        if flat:
+            nat = from_flat_bl(nat, m, n)
         T1s = 0.5 * (nat.T1 + jnp.swapaxes(nat.T1, 0, 1))
         if jitter:
             trace = sum(T1s[i, i] for i in range(m)) / m

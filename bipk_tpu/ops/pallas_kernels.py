@@ -123,15 +123,16 @@ def _chol_cols(read_a, m):
     return cols
 
 
-def _make_read_a(t1_ref, p1_ref, jitter, lam, m):
+def _make_read_a(read_t1, p1_ref, jitter, lam, m):
     """Entry reader for ``A = prior1 + lam * sym(stats1) (+ jitter)``.
 
-    ``p1_ref`` is the (m, m) prior block in SMEM (scalars broadcast into
-    the particle tile); ``None`` means no prior term.
+    ``read_t1(i, j)`` reads the raw statistics entry; ``p1_ref`` is the
+    (m, m) prior block in SMEM (scalars broadcast into the particle
+    tile); ``None`` means no prior term.
     """
 
     def read_raw(i, j):
-        a = 0.5 * (t1_ref[i, j] + t1_ref[j, i])
+        a = 0.5 * (read_t1(i, j) + read_t1(j, i))
         if lam != 1.0:
             a = a * lam
         if p1_ref is not None:
@@ -155,6 +156,22 @@ def _make_read_a(t1_ref, p1_ref, jitter, lam, m):
     return read_a
 
 
+def _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat):
+    """Entry readers for structured ((m, n, B)-style) or flat
+    ((m*n, B)-style) statistics blocks."""
+    if flat:
+        return (
+            lambda i, c: t0_ref[i * n + c],
+            lambda i, j: t1_ref[i * m + j],
+            lambda a, b: t2_ref[a * n + b],
+        )
+    return (
+        lambda i, c: t0_ref[i, c],
+        lambda i, j: t1_ref[i, j],
+        lambda a, b: t2_ref[a, b],
+    )
+
+
 def _factorize_kernel(
     t0_ref, t1_ref, t2_ref, p0_ref, p1_ref, p2_ref,
     chol_ref, white_ref, row_ref, *, m, n, jitter, lam, has_prior
@@ -162,7 +179,9 @@ def _factorize_kernel(
     p0 = p0_ref if has_prior else None
     p1 = p1_ref if has_prior else None
     p2 = p2_ref if has_prior else None
-    cols = _chol_cols(_make_read_a(t1_ref, p1, jitter, lam, m), m)
+    cols = _chol_cols(
+        _make_read_a(lambda i, j: t1_ref[i, j], p1, jitter, lam, m), m
+    )
 
     for j in range(m):
         for i in range(m):
@@ -228,7 +247,7 @@ def _project_kernel(chol_ref, white_ref, phi_ref, mean_ref, col_ref, *, m, n):
 def _factorize_project_kernel(
     t0_ref, t1_ref, t2_ref, p0_ref, p1_ref, p2_ref, phi_ref,
     mean_ref, col_ref, row_ref, ld_ref,
-    *, m, n, jitter, lam, has_prior,
+    *, m, n, jitter, lam, has_prior, flat,
 ):
     """Fused factorize + predictive projection with NO m^2-sized outputs.
 
@@ -244,14 +263,15 @@ def _factorize_project_kernel(
     p0 = p0_ref if has_prior else None
     p1 = p1_ref if has_prior else None
     p2 = p2_ref if has_prior else None
-    cols = _chol_cols(_make_read_a(t1_ref, p1, jitter, lam, m), m)
+    raw_t0, raw_t1, raw_t2 = _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat)
+    cols = _chol_cols(_make_read_a(raw_t1, p1, jitter, lam, m), m)
 
     half_ld_t1 = jnp.log(cols[0][0])
     for i in range(1, m):
         half_ld_t1 = half_ld_t1 + jnp.log(cols[i][i])
 
     def read_t0(i, c):
-        a = t0_ref[i, c]
+        a = raw_t0(i, c)
         if lam != 1.0:
             a = a * lam
         if p0 is not None:
@@ -259,7 +279,7 @@ def _factorize_project_kernel(
         return a
 
     def read_t2(a_, b):
-        v = t2_ref[a_, b]
+        v = raw_t2(a_, b)
         if lam != 1.0:
             v = v * lam
         if p2 is not None:
@@ -310,7 +330,7 @@ def _factorize_project_kernel(
 
 
 def _log_base_measure_kernel(
-    t0_ref, t1_ref, t2_ref, out_ref, *, m, n, jitter
+    t0_ref, t1_ref, t2_ref, out_ref, *, m, n, jitter, flat=False
 ):
     """Log-determinant pieces of the MNIW base measure (no nu terms).
 
@@ -320,7 +340,8 @@ def _log_base_measure_kernel(
     """
     assert n <= 2, "pallas log_base_measure supports n <= 2"
 
-    cols = _chol_cols(_make_read_a(t1_ref, None, jitter, 1.0, m), m)
+    raw_t0, raw_t1, raw_t2 = _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat)
+    cols = _chol_cols(_make_read_a(raw_t1, None, jitter, 1.0, m), m)
     half_logdet_t1 = jnp.log(cols[0][0])
     for i in range(1, m):
         half_logdet_t1 = half_logdet_t1 + jnp.log(cols[i][i])
@@ -329,7 +350,7 @@ def _log_base_measure_kernel(
     for i in range(m):
         row = []
         for c in range(n):
-            acc = t0_ref[i, c]
+            acc = raw_t0(i, c)
             for k in range(i):
                 acc = acc - cols[k][i] * white[k][c]
             row.append(acc / cols[i][i])
@@ -338,7 +359,7 @@ def _log_base_measure_kernel(
     psi = [[None] * n for _ in range(n)]
     for a in range(n):
         for b in range(n):
-            acc = t2_ref[a, b]
+            acc = raw_t2(a, b)
             for k in range(m):
                 acc = acc - white[k][a] * white[k][b]
             psi[a][b] = acc
@@ -408,14 +429,19 @@ def factorize_blocks(T0, T1, T2, jitter: float, lam: float = 1.0,
     return (_unblock(chol, N), _unblock(white, N), _unblock(row, N))
 
 
-@functools.partial(jax.jit, static_argnames=("jitter", "lam"))
+@functools.partial(jax.jit, static_argnames=("jitter", "lam", "m", "n"))
 def factorize_project_blocks(T0, T1, T2, phi, jitter: float,
-                             lam: float = 1.0, prior=None):
+                             lam: float = 1.0, prior=None,
+                             m: int | None = None, n: int | None = None):
     """Fused factorization + predictive projection (see
     ``_factorize_project_kernel``). ``phi (m, N)`` ->
     ``(mean (n, N), col_scale (N,), row_scale (n, n, N),
-    logdet_T1 (N,), logdet_Psi (N,))``."""
-    m, n, N = T0.shape[0], T0.shape[1], T0.shape[-1]
+    logdet_T1 (N,), logdet_Psi (N,))``. Statistics may be structured
+    (``(m, n, N)`` etc.) or flat (``(m*n, N)`` etc.; pass ``m``/``n``)."""
+    flat = T0.ndim == 2
+    if not flat:
+        m, n = T0.shape[0], T0.shape[1]
+    N = T0.shape[-1]
     assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
     tiled = supported(m)
     block = _BLOCK if tiled else _BLOCK_1D
@@ -437,14 +463,23 @@ def factorize_project_blocks(T0, T1, T2, phi, jitter: float,
         _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
     ]
 
+    if flat:
+        stat_specs = [
+            _spec((m * n,), tiled), _spec((m * m,), tiled),
+            _spec((n * n,), tiled),
+        ]
+    else:
+        stat_specs = [
+            _spec((m, n), tiled), _spec((m, m), tiled), _spec((n, n), tiled)
+        ]
     mean, col, row, ld = pl.pallas_call(
         functools.partial(
             _factorize_project_kernel, m=m, n=n, jitter=jitter, lam=lam,
-            has_prior=has_prior,
+            has_prior=has_prior, flat=flat,
         ),
         grid=grid,
         in_specs=[
-            _spec((m, n), tiled), _spec((m, m), tiled), _spec((n, n), tiled),
+            *stat_specs,
             *prior_specs, _spec((m,), tiled),
         ],
         out_specs=[
@@ -497,11 +532,16 @@ def project_blocks(chol, white, phi):
     return _unblock(mean, N), _unblock(col, N)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("jitter",))
-def log_base_measure_logdets(T0, T1, T2, jitter: float):
+@functools.partial(jax.jit, static_argnames=("jitter", "m", "n"))
+def log_base_measure_logdets(T0, T1, T2, jitter: float,
+                             m: int | None = None, n: int | None = None):
     """Fused log-determinant pieces: returns ``(logdet_T1, logdet_Psi)``
-    each ``(N,)`` where ``Psi = T2 - T0^T sym(T1)^{-1} T0``."""
-    m, n, N = T0.shape[0], T0.shape[1], T0.shape[-1]
+    each ``(N,)`` where ``Psi = T2 - T0^T sym(T1)^{-1} T0``. Statistics
+    may be structured or flat (pass ``m``/``n``)."""
+    flat = T0.ndim == 2
+    if not flat:
+        m, n = T0.shape[0], T0.shape[1]
+    N = T0.shape[-1]
     assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
     tiled = supported(m)
     block = _BLOCK if tiled else _BLOCK_1D
@@ -511,12 +551,21 @@ def log_base_measure_logdets(T0, T1, T2, jitter: float):
         (2, total // _LANES, _LANES) if tiled else (2, total)
     )
 
-    out = pl.pallas_call(
-        functools.partial(_log_base_measure_kernel, m=m, n=n, jitter=jitter),
-        grid=grid,
-        in_specs=[
+    if flat:
+        stat_specs = [
+            _spec((m * n,), tiled), _spec((m * m,), tiled),
+            _spec((n * n,), tiled),
+        ]
+    else:
+        stat_specs = [
             _spec((m, n), tiled), _spec((m, m), tiled), _spec((n, n), tiled)
-        ],
+        ]
+    out = pl.pallas_call(
+        functools.partial(
+            _log_base_measure_kernel, m=m, n=n, jitter=jitter, flat=flat
+        ),
+        grid=grid,
+        in_specs=stat_specs,
         out_specs=_spec((2,), tiled),
         out_shape=jax.ShapeDtypeStruct(out_shape, T1.dtype),
     )(

@@ -135,6 +135,7 @@ def build_sharded_apf(
             )
             for iv in int_vars
         )
+        flat = stats[0].T1.ndim == 2
         stm = tuple(
             jax.tree_util.tree_map(
                 lambda s: jax.lax.psum(
@@ -144,6 +145,18 @@ def build_sharded_apf(
             )
             for st in stats
         )
+        if flat:
+            # reduced moments are small — back to matrix form for the
+            # result contract
+            stm = tuple(
+                mniw.MNIW(
+                    st.T0.reshape(kern.priors[i].T0.shape),
+                    st.T1.reshape(kern.priors[i].T1.shape),
+                    st.T2.reshape(kern.priors[i].T2.shape),
+                    st.T3,
+                )
+                for i, st in enumerate(stm)
+            )
         ess = 1.0 / jax.lax.psum(jnp.sum(w_global * w_global), PARTICLE_AXIS)
         return sm, ivm, stm, ess
 
@@ -283,7 +296,6 @@ def build_sharded_apf(
             # chunk would defeat the memory cap)
             def p1_body(c, ll_buf):
                 state_c, iv_c, stats_c = sl((state, int_vars, stats), c)
-                stats_c = _unflatten_stats(stats_c)
                 _, _, _, ll_aux_c, _ = kern.auxiliary_fused(
                     stats_c, forgetting_factor, state_c, iv_c, inp_prev,
                     inp_cur, obs, jnp.zeros((chunk_size,), dtype),
@@ -320,7 +332,6 @@ def build_sharded_apf(
                 state_g, iv_g, stats_g, ll_aux_g = kern.gather(
                     (state, int_vars, stats, ll_aux), idx_c
                 )
-                stats_g = _unflatten_stats(stats_g)
                 kc = jax.random.fold_in(key_base, c)
                 kc_state, kc_iv = jax.random.split(kc)
                 new_state_c = kern.propagate_all(
@@ -329,9 +340,9 @@ def build_sharded_apf(
                 new_iv_c, new_basis_c = kern.draw_int_vars_fused(
                     kc_iv, stats_g, forgetting_factor, new_state_c, inp_cur
                 )
-                new_stats_c = _flatten_stats(kern.update_stats(
+                new_stats_c = kern.update_stats(
                     stats_g, new_iv_c, new_basis_c, forgetting_factor
-                ))
+                )
                 ll_new_c = kern.log_lik_all(
                     obs, new_state_c, inp_cur, new_iv_c
                 )
@@ -355,33 +366,19 @@ def build_sharded_apf(
             )
 
             w_new = _global_softmax(new_log_weights)
-            sm, ivm, stm_flat, ess = reduce_moments(
-                w_new, new_state, new_iv, new_stats
-            )
-            # reduced moments are small — reshape back to matrix form
-            stm = tuple(
-                mniw.MNIW(
-                    st.T0.reshape(kern.priors[i].T0.shape),
-                    st.T1.reshape(kern.priors[i].T1.shape),
-                    st.T2.reshape(kern.priors[i].T2.shape),
-                    st.T3,
-                )
-                for i, st in enumerate(stm_flat)
-            )
-            return (new_log_weights, new_state, new_iv, new_stats), (
-                sm, ivm, stm, ess
-            )
+            moments = reduce_moments(w_new, new_state, new_iv, new_stats)
+            return (new_log_weights, new_state, new_iv, new_stats), moments
 
         n_steps = observations.shape[0]
         keys = jax.random.split(key, n_steps - 1)
         xs = (observations[1:], inputs[:-1], inputs[1:], keys)
-        carry_stats = _flatten_stats(stats) if chunk_size is not None else stats
-        carry0 = (log_weights, state, int_vars, carry_stats)
+        # statistics ride the scan in flat (rows, N) layout (see
+        # bipk_tpu.algorithms.apf)
+        carry0 = (log_weights, state, int_vars, _flatten_stats(stats))
         step_fn = step if chunk_size is None else step_chunked
         carry, (sm, ivm, stm, ess) = jax.lax.scan(step_fn, carry0, xs)
         final_log_w, final_state, _, final_stats = carry
-        if chunk_size is not None:
-            final_stats = _unflatten_stats(final_stats)
+        final_stats = _unflatten_stats(final_stats)
 
         w0 = _global_softmax(log_weights)
         sm0, ivm0, stm0, ess0 = reduce_moments(w0, state, int_vars, stats)
