@@ -276,7 +276,18 @@ class APFKernel:
         forgetting scale fuses into the existing read-modify-write).
         Handles structured and flat statistics layouts."""
         flat = stats_res[0].T1.ndim == 2
-        suff = mniw.suff_stat_flat_bl if flat else mniw.suff_stat_bl
+        if flat:
+            # measured on v5e (vehicle workload): the gather lowering of
+            # the flat rank-1 term wins in the forgetting-APF step (8.17M
+            # vs 7.97M psps); the fused broadcast lowering wins in the
+            # lam=1 cSMC step (1.19 vs 1.57 s/sweep) — see
+            # mniw.suff_stat_flat_bl
+            def suff(y_, phi_):
+                return mniw.suff_stat_flat_bl(
+                    y_, phi_, via_gather=(lam != 1.0)
+                )
+        else:
+            suff = mniw.suff_stat_bl
         if lam == 1.0:
             return tuple(
                 stats_res[i] + suff(new_iv[i], new_basis[i])

@@ -75,6 +75,10 @@ def build_csmc(
     kern = APFKernel(ssm, gps, dtype, mesh=mesh)
     n_gp = kern.n_gp
     ms = tuple(gp.prior.T1.shape[0] for gp in kern.gps)
+    ns = tuple(gp.prior.T2.shape[0] for gp in kern.gps)
+    # broadcastable priors in the flat (rows, 1) layout the direct-path
+    # scan carry uses (see bipk_tpu.algorithms.apf)
+    priors_flat = tuple(mniw.to_flat_bl(p) for p in kern.priors_bl)
     if rank1 is None:
         # Opt-in for now: the O(p^2) math wins on paper, but the unrolled
         # XLA lowering runs on 1-sublane (N,) vectors and measures SLOWER
@@ -224,9 +228,13 @@ def build_csmc(
         new_dfps = tuple(dfp_g)  # +1 datum, -1 remaining future
 
         norm_w = jax.nn.softmax(new_log_weights)
+        # traces stay batch-last (d, N): a (T, N, d) trace with d of 1-2
+        # tile-pads lanes 64x when it feeds the backward-reconstruction
+        # gather (25 GB / OOM at 32k particles) — see
+        # resampling.reconstruct_trajectory_bl
         emits = (
-            new_state.T,
-            tuple(iv.T for iv in new_iv),
+            new_state,
+            tuple(new_iv),
             new_log_weights,
             ancestors,
             1.0 / jnp.sum(norm_w * norm_w),
@@ -257,17 +265,24 @@ def build_csmc(
 
         g_diff = jnp.zeros_like(lw_aux)
         for i in range(n_gp):
-            ref_bl = jax.tree_util.tree_map(
-                lambda r: r[..., None] if r.ndim else r, ref_stats[i]
+            # ref stats are small (no particle axis): flatten to (rows, 1)
+            # to broadcast against the flat per-particle carry
+            ref_bl = mniw.MNIW(
+                ref_stats[i].T0.reshape(-1, 1),
+                ref_stats[i].T1.reshape(-1, 1),
+                ref_stats[i].T2.reshape(-1, 1),
+                ref_stats[i].T3,
             )
             with_future = mniw.log_base_measure_bl(
                 jax.tree_util.tree_map(
                     lambda p, r, s: p + r + s,
-                    kern.priors_bl[i],
+                    priors_flat[i],
                     ref_bl,
                     stats[i],
                 ),
                 use_pallas=kern.use_pallas,
+                m=ms[i],
+                n=ns[i],
             )
             without_future = mniw.log_base_measure_from_projected_bl(
                 fps[i], ms[i]
@@ -304,9 +319,13 @@ def build_csmc(
         )
 
         norm_w = jax.nn.softmax(new_log_weights)
+        # traces stay batch-last (d, N): a (T, N, d) trace with d of 1-2
+        # tile-pads lanes 64x when it feeds the backward-reconstruction
+        # gather (25 GB / OOM at 32k particles) — see
+        # resampling.reconstruct_trajectory_bl
         emits = (
-            new_state.T,
-            tuple(iv.T for iv in new_iv),
+            new_state,
+            tuple(new_iv),
             new_log_weights,
             ancestors,
             1.0 / jnp.sum(norm_w * norm_w),
@@ -407,14 +426,20 @@ def build_csmc(
             )
             carry, emits = jax.lax.scan(step_rank1, carry0, xs)
         else:
-            carry0 = (log_w0, state0, iv0, stats0, ref_stats)
+            # per-particle statistics ride the scan flat (rows, N) — see
+            # bipk_tpu.algorithms.apf; the small ref stats stay structured
+            carry0 = (
+                log_w0, state0, iv0,
+                tuple(mniw.to_flat_bl(st) for st in stats0),
+                ref_stats,
+            )
             carry, emits = jax.lax.scan(step_direct, carry0, xs)
         state_tr, iv_tr, log_w_tr, ancestors, ess = emits
         final_log_w = carry[0]
 
-        states = jnp.concatenate([state0.T[None], state_tr])
+        states = jnp.concatenate([state0[None], state_tr])
         int_vars = tuple(
-            jnp.concatenate([iv0[i].T[None], iv_tr[i]]) for i in range(n_gp)
+            jnp.concatenate([iv0[i][None], iv_tr[i]]) for i in range(n_gp)
         )
 
         # draw one trajectory by backward ancestry
@@ -422,7 +447,7 @@ def build_csmc(
         idx = resampling.categorical_from_weights(
             keys[-1], jax.nn.softmax(final_log_w)
         )
-        (state_traj, iv_traj), _ = resampling.reconstruct_trajectory(
+        (state_traj, iv_traj), _ = resampling.reconstruct_trajectory_bl(
             (states, int_vars), ancestors, idx
         )
         return CSMCResult(

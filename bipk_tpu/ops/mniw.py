@@ -667,30 +667,44 @@ def from_flat_bl(nat: MNIW, m: int, n: int) -> MNIW:
     )
 
 
-def suff_stat_flat_bl(y: jax.Array, phi: jax.Array) -> MNIW:
+def suff_stat_flat_bl(
+    y: jax.Array, phi: jax.Array, via_gather: bool = False
+) -> MNIW:
     """Rank-1 statistics in flat layout: ``y (n, N)``, ``phi (m, N)`` ->
     leaves ``(m*n, N)``, ``(m*m, N)``, ``(n*n, N)``, ``(N,)``.
 
-    Row ``i*n + c`` of T0 is ``phi_i y_c`` etc. — built from static-index
-    row gathers of the small inputs so no padded (m, 1, N)/(m, m, N)
-    intermediate is ever materialized.
-    """
-    import numpy as _np
+    Row ``i*n + c`` of T0 is ``phi_i y_c`` etc. Two lowerings, identical
+    math, context-dependent performance on v5e (see
+    ``APFKernel.update_stats`` for the measured selection rule):
 
+    - default: reshape(broadcast-multiply) — XLA fuses the broadcast and
+      the row merge into the consuming add (vehicle cSMC sweep: 1.19 s vs
+      1.57 s for the gather form);
+    - ``via_gather``: static-index row gathers of the small inputs (the
+      vehicle APF sweep with forgetting: 8.17M vs 7.97M psps).
+    """
     m = phi.shape[0]
     n = y.shape[0]
-    ar_m = _np.arange(m)
-    ar_n = _np.arange(n)
-    T0 = jnp.take(phi, _np.repeat(ar_m, n), axis=0) * jnp.take(
-        y, _np.tile(ar_n, m), axis=0
-    )
-    T1 = jnp.take(phi, _np.repeat(ar_m, m), axis=0) * jnp.take(
-        phi, _np.tile(ar_m, m), axis=0
-    )
-    T2 = jnp.take(y, _np.repeat(ar_n, n), axis=0) * jnp.take(
-        y, _np.tile(ar_n, n), axis=0
-    )
-    return MNIW(T0, T1, T2, jnp.ones(phi.shape[-1], dtype=phi.dtype))
+    last = phi.shape[-1]
+    if via_gather:
+        import numpy as _np
+
+        ar_m = _np.arange(m)
+        ar_n = _np.arange(n)
+        T0 = jnp.take(phi, _np.repeat(ar_m, n), axis=0) * jnp.take(
+            y, _np.tile(ar_n, m), axis=0
+        )
+        T1 = jnp.take(phi, _np.repeat(ar_m, m), axis=0) * jnp.take(
+            phi, _np.tile(ar_m, m), axis=0
+        )
+        T2 = jnp.take(y, _np.repeat(ar_n, n), axis=0) * jnp.take(
+            y, _np.tile(ar_n, n), axis=0
+        )
+    else:
+        T0 = (phi[:, None, :] * y[None, :, :]).reshape(m * n, last)
+        T1 = (phi[:, None, :] * phi[None, :, :]).reshape(m * m, last)
+        T2 = (y[:, None, :] * y[None, :, :]).reshape(n * n, last)
+    return MNIW(T0, T1, T2, jnp.ones(last, dtype=phi.dtype))
 
 
 def log_base_measure_bl(

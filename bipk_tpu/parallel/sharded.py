@@ -37,7 +37,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from bipk_tpu.algorithms.apf import APFKernel
 from bipk_tpu.models.ssm import GPNode, SSM
@@ -429,7 +429,7 @@ def build_sharded_apf(
             P(PARTICLE_AXIS),
             stats_spec,
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     def run(key, observations, inputs, init_state_mean, init_state_cov):

@@ -35,7 +35,7 @@ WORKER = textwrap.dedent(
     )
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     assert jax.process_count() == 2, jax.process_count()

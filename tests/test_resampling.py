@@ -89,6 +89,22 @@ def test_reconstruct_trajectory_pytree():
     assert indices.shape == (T,)
 
 
+def test_reconstruct_trajectory_bl_matches_batch_first():
+    rng = np.random.default_rng(2)
+    T, N, d = 12, 7, 3
+    particles = rng.standard_normal((T, N, d))
+    ancestry = rng.integers(0, N, size=(T - 1, N))
+    idx = 5
+    (want,), _ = resampling.reconstruct_trajectory(
+        (jnp.asarray(particles),), jnp.asarray(ancestry), idx
+    )
+    (got,), indices = resampling.reconstruct_trajectory_bl(
+        (jnp.asarray(particles).swapaxes(1, 2),), jnp.asarray(ancestry), idx
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    assert indices.shape == (T,)
+
+
 def test_systematic_matches_searchsorted_reference():
     """Scatter-based systematic == searchsorted-based, up to fp ties."""
     for seed in range(10):

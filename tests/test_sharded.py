@@ -107,7 +107,7 @@ def test_sharded_matches_single_chip_statistics(mesh8, toy_setup):
 def test_exact_global_systematic_matches_single_chip(mesh8):
     """The mesh-distributed exact scheme reproduces the single-chip global
     systematic resampler's ancestor vector EXACTLY for the same key."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from bipk_tpu.ops import resampling
@@ -126,7 +126,7 @@ def test_exact_global_systematic_matches_single_chip(mesh8):
             mesh=mesh8,
             in_specs=(P(), P(PARTICLE_AXIS)),
             out_specs=P(PARTICLE_AXIS),
-            check_rep=False,
+            check_vma=False,
         )
         anc_sharded = jax.jit(fn)(key_r, w)
         np.testing.assert_array_equal(
@@ -137,7 +137,7 @@ def test_exact_global_systematic_matches_single_chip(mesh8):
 def test_ring_redistribute_matches_global_gather(mesh8):
     """Ring payload redistribution == a global gather, for arbitrary
     (not just sorted) global ancestor indices and 1/2/3-D payloads."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from bipk_tpu.parallel import global_resampling as gr
@@ -166,7 +166,7 @@ def test_ring_redistribute_matches_global_gather(mesh8):
             P(None, PARTICLE_AXIS),
             P(None, None, PARTICLE_AXIS),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     o1, o2, o3 = jax.jit(fn)(anc, p1, p2, p3)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(p1)[anc])
