@@ -79,6 +79,8 @@ class APFKernel:
             False if (mesh is not None and mesh.devices.size > 1) else None
         )
         self.priors = tuple(gp.prior_as(dtype) for gp in self.gps)
+        self.ms = tuple(p.T1.shape[0] for p in self.priors)
+        self.ns = tuple(p.T2.shape[0] for p in self.priors)
         # batch-last broadcastable priors
         self.priors_bl = tuple(
             mniw.MNIW(p.T0[..., None], p.T1[..., None], p.T2[..., None], p.T3)
@@ -257,6 +259,82 @@ class APFKernel:
         )
         return new_iv, new_basis
 
+    # -- packed-statistics pieces (ONE (rows, N) matrix per GP) -----------
+
+    def projected_all_packed(self, Ss, lam, basis):
+        """Per-GP fused factorization + predictive projection over the
+        packed statistics carry (see ``mniw.factorize_project_packed_bl``)."""
+        return tuple(
+            mniw.factorize_project_packed_bl(
+                Ss[i], basis[i], prior=self.priors[i], lam=lam,
+                m=self.ms[i], n=self.ns[i], use_pallas=self.use_pallas,
+            )
+            for i in range(self.n_gp)
+        )
+
+    def auxiliary_fused_packed(
+        self, Ss, lam, state, int_vars, inp_prev, inp_cur, obs, log_weights,
+    ):
+        """:meth:`auxiliary_fused` over the packed statistics carry."""
+        aux_state = self.transition_all(state, inp_prev, int_vars)
+        basis = tuple(
+            self.basis_all(i, aux_state, inp_cur) for i in range(self.n_gp)
+        )
+        fps = self.projected_all_packed(Ss, lam, basis)
+        aux_iv = tuple(fp.mean for fp in fps)
+        ll_aux = self.log_lik_all(obs, aux_state, inp_cur, aux_iv)
+        return aux_state, aux_iv, ll_aux + log_weights, ll_aux, fps
+
+    def draw_update_all_packed(self, key, Ss_g, lam, new_state, inp_cur):
+        """Fused predictive draw + rank-1 statistics update per GP over
+        the packed carry: ONE kernel per GP computes the factor, draws the
+        interface variable, and writes ``lam*stats + suff`` — no separate
+        update pass, no materialized outer products (see
+        ``mniw.draw_update_packed_bl``). Returns
+        ``(Ss_new, new_iv, new_basis, lds)``."""
+        new_basis = tuple(
+            self.basis_all(i, new_state, inp_cur) for i in range(self.n_gp)
+        )
+        keys = jax.random.split(key, self.n_gp)
+        outs = tuple(
+            mniw.draw_update_packed_bl(
+                keys[i], Ss_g[i], new_basis[i], prior=self.priors[i],
+                lam=lam, m=self.ms[i], n=self.ns[i],
+                use_pallas=self.use_pallas,
+            )
+            for i in range(self.n_gp)
+        )
+        Ss_new = tuple(o[0] for o in outs)
+        new_iv = tuple(o[1] for o in outs)
+        lds = tuple((o[2], o[3]) for o in outs)
+        return Ss_new, new_iv, new_basis, lds
+
+    @staticmethod
+    def gather_packed(Ss, idx, sorted_indices=False):
+        """Resampling gather of the packed statistics matrices: one 2-D
+        lane-gather per GP, no concatenate/split."""
+        return tuple(
+            S.at[:, idx].get(indices_are_sorted=sorted_indices) for S in Ss
+        )
+
+    def weighted_stats_packed(self, Ss, weights):
+        """Importance-weighted statistics means from the packed carry,
+        returned in structured (m, n) matrix form."""
+        out = []
+        for i, S in enumerate(Ss):
+            red = jnp.tensordot(S, weights, axes=(-1, 0))
+            m, n = self.ms[i], self.ns[i]
+            o1, o2, o3 = m * n, m * n + m * m, m * n + m * m + n * n
+            out.append(
+                mniw.MNIW(
+                    red[:o1].reshape(m, n),
+                    red[o1:o2].reshape(m, m),
+                    red[o2:o3].reshape(n, n),
+                    red[o3],
+                )
+            )
+        return tuple(out)
+
     def draw_int_vars(self, key, factors_res, new_state, inp_cur):
         keys = jax.random.split(key, self.n_gp)
         new_basis = tuple(
@@ -410,42 +488,45 @@ def build_apf(
     n_gp = kern.n_gp
 
     def step(carry, xs):
-        log_weights, state, int_vars, stats = carry
-        log_weights, state, int_vars, stats = kern.constrain(
-            (log_weights, state, int_vars, stats)
+        log_weights, state, int_vars, Ss = carry
+        log_weights, state, int_vars, Ss = kern.constrain(
+            (log_weights, state, int_vars, Ss)
         )
         obs, inp_prev, inp_cur, key = xs
 
         # statistics time update (exponential forgetting) fused into the
-        # factorization kernels and the later rank-1 update — the carried
+        # factorization kernels and the fused draw+update — the carried
         # stats are scaled lazily, never in a standalone HBM pass; the
         # factorization + posterior-mean projection run as one fused kernel
         # whose m^2-sized factor never leaves VMEM
-        aux_state, aux_iv, lw_aux, ll_aux, _ = kern.auxiliary_fused(
-            stats, forgetting_factor, state, int_vars, inp_prev, inp_cur,
+        aux_state, aux_iv, lw_aux, ll_aux, _ = kern.auxiliary_fused_packed(
+            Ss, forgetting_factor, state, int_vars, inp_prev, inp_cur,
             obs, log_weights,
         )
 
         key, key_res = jax.random.split(key)
         ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
 
-        # one fused gather for every per-particle payload (see
-        # packed_gather: separate gathers are per-op latency-bound on TPU);
-        # post-resampling factors are a deterministic function of the
-        # gathered statistics and are re-derived inside the fused draw
-        state_g, iv_g, stats_g, ll_aux_g = kern.packed_gather(
-            (state, int_vars, stats, ll_aux), ancestors
+        # the dominant payload (per-particle statistics) rides the scan as
+        # ONE packed matrix per GP, so the resampling gather is one plain
+        # 2-D lane-gather per GP — no per-step concatenate/split/relayout
+        # (profiled at ~0.9 ms/step of layout churn at N = 32768 on v5e);
+        # systematic ancestors are non-decreasing by construction
+        Ss_g = kern.gather_packed(Ss, ancestors, sorted_indices=True)
+        state_g, iv_g, ll_aux_g = kern.packed_gather(
+            (state, int_vars, ll_aux), ancestors
         )
 
         key, key_state = jax.random.split(key)
         new_state = kern.propagate_all(key_state, state_g, inp_prev, iv_g)
 
+        # fused draw + rank-1 statistics update: post-resampling factors
+        # are re-derived from the gathered statistics inside ONE kernel
+        # that also draws the interface variables and writes the updated
+        # packed statistics — the suff-stat outer products never hit HBM
         key, key_iv = jax.random.split(key)
-        new_iv, new_basis = kern.draw_int_vars_fused(
-            key_iv, stats_g, forgetting_factor, new_state, inp_cur
-        )
-        new_stats = kern.update_stats(
-            stats_g, new_iv, new_basis, forgetting_factor
+        Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
+            key_iv, Ss_g, forgetting_factor, new_state, inp_cur
         )
 
         ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
@@ -457,10 +538,10 @@ def build_apf(
             tuple(iv.T for iv in new_iv),
             new_log_weights,
             ancestors,
-            kern.weighted_stats(new_stats, norm_w),
+            kern.weighted_stats_packed(Ss_new, norm_w),
             1.0 / jnp.sum(norm_w * norm_w),
         )
-        return (new_log_weights, new_state, new_iv, new_stats), emits
+        return (new_log_weights, new_state, new_iv, Ss_new), emits
 
     def run(key, observations, inputs, init_state_mean, init_state_cov):
         observations = jnp.atleast_2d(
@@ -476,19 +557,21 @@ def build_apf(
 
         keys = jax.random.split(key, n_steps - 1)
         xs = (observations[1:], inputs[:-1], inputs[1:], keys)
-        # statistics ride the scan in flat (rows, N) layout: near-zero TPU
-        # tile padding and no relayout copies between the step's passes
+        # statistics ride the scan as ONE packed (rows, N) matrix per GP:
+        # near-zero TPU tile padding, a single resampling lane-gather, and
+        # no relayout copies between the step's passes
         carry0 = (
             log_w0, state0, iv0,
-            tuple(mniw.to_flat_bl(st) for st in stats0),
+            tuple(mniw.pack_stats_bl(st) for st in stats0),
         )
         carry, emits = jax.lax.scan(step, carry0, xs)
         state_tr, iv_tr, log_w_tr, ancestors, stats_mean_tr, ess_tr = emits
         final_stats_bl = tuple(
             mniw.from_flat_bl(
-                st, kern.priors[i].T1.shape[0], kern.priors[i].T2.shape[0]
+                mniw.unpack_stats_bl(S, kern.ms[i], kern.ns[i]),
+                kern.ms[i], kern.ns[i],
             )
-            for i, st in enumerate(carry[3])
+            for i, S in enumerate(carry[3])
         )
 
         states = jnp.concatenate([state0.T[None], state_tr])

@@ -76,9 +76,21 @@ def build_csmc(
     n_gp = kern.n_gp
     ms = tuple(gp.prior.T1.shape[0] for gp in kern.gps)
     ns = tuple(gp.prior.T2.shape[0] for gp in kern.gps)
-    # broadcastable priors in the flat (rows, 1) layout the direct-path
-    # scan carry uses (see bipk_tpu.algorithms.apf)
-    priors_flat = tuple(mniw.to_flat_bl(p) for p in kern.priors_bl)
+
+    def _repin_last_column(S_new, phi_last, y_drawn, y_ref, m, n):
+        """Swap the drawn interface variable's rank-1 contribution for the
+        pinned reference's in the last (reference-particle) statistics
+        column: T1's phi-outer-product term is identical, only the T0/T2
+        terms involve y (parity: ``Algorithm3.py:147-174``)."""
+        o1, o2 = m * n, m * n + m * m
+        o3 = o2 + n * n
+        d0 = (phi_last[:, None] * (y_ref - y_drawn)[None, :]).reshape(-1)
+        d2 = (
+            jnp.outer(y_ref, y_ref) - jnp.outer(y_drawn, y_drawn)
+        ).reshape(-1)
+        col = S_new[:, -1]
+        col = col.at[:o1].add(d0).at[o2:o3].add(d2)
+        return S_new.at[:, -1].set(col)
     if rank1 is None:
         # Opt-in for now: the O(p^2) math wins on paper, but the unrolled
         # XLA lowering runs on 1-sublane (N,) vectors and measures SLOWER
@@ -252,12 +264,14 @@ def build_csmc(
     # -- refactorize-per-step formulation (A/B validation path) -------------
 
     def step_direct(carry, xs):
-        log_weights, state, int_vars, stats, ref_stats = carry
+        log_weights, state, int_vars, Ss, ref_stats = carry
         obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
 
-        aux_state, aux_iv, lw_aux, ll_aux, fps = kern.auxiliary_fused(
-            stats, 1.0, state, int_vars, inp_prev, inp_cur, obs,
-            log_weights,
+        aux_state, aux_iv, lw_aux, ll_aux, fps = (
+            kern.auxiliary_fused_packed(
+                Ss, 1.0, state, int_vars, inp_prev, inp_cur, obs,
+                log_weights,
+            )
         )
 
         key, key_res = jax.random.split(key)
@@ -265,24 +279,16 @@ def build_csmc(
 
         g_diff = jnp.zeros_like(lw_aux)
         for i in range(n_gp):
-            # ref stats are small (no particle axis): flatten to (rows, 1)
-            # to broadcast against the flat per-particle carry
-            ref_bl = mniw.MNIW(
-                ref_stats[i].T0.reshape(-1, 1),
-                ref_stats[i].T1.reshape(-1, 1),
-                ref_stats[i].T2.reshape(-1, 1),
-                ref_stats[i].T3,
+            # the (small) prior + ref-future offset folds into the fused
+            # kernel — prior+ref+stats is never materialized per particle
+            prior_eff = mniw.MNIW(
+                kern.priors[i].T0 + ref_stats[i].T0,
+                kern.priors[i].T1 + ref_stats[i].T1,
+                kern.priors[i].T2 + ref_stats[i].T2,
+                kern.priors[i].T3 + ref_stats[i].T3,
             )
-            with_future = mniw.log_base_measure_bl(
-                jax.tree_util.tree_map(
-                    lambda p, r, s: p + r + s,
-                    priors_flat[i],
-                    ref_bl,
-                    stats[i],
-                ),
-                use_pallas=kern.use_pallas,
-                m=ms[i],
-                n=ns[i],
+            with_future = mniw.log_base_measure_packed_bl(
+                Ss[i], prior_eff, ms[i], ns[i], use_pallas=kern.use_pallas
             )
             without_future = mniw.log_base_measure_from_projected_bl(
                 fps[i], ms[i]
@@ -295,22 +301,40 @@ def build_csmc(
         )
         ancestors = ancestors.at[-1].set(ref_idx)
 
-        # one fused gather; post-resampling factors recomputed from the
-        # gathered statistics (cheaper than moving the factor payload)
-        state_g, iv_g, stats_g, ll_aux_g = kern.packed_gather(
-            (state, int_vars, stats, ll_aux), ancestors
+        # packed statistics gather: one 2-D lane-gather per GP (the
+        # ancestor-sampled last entry breaks sortedness)
+        Ss_g = kern.gather_packed(Ss, ancestors)
+        state_g, iv_g, ll_aux_g = kern.packed_gather(
+            (state, int_vars, ll_aux), ancestors
         )
 
-        def draw_direct(key_iv, new_state):
-            return kern.draw_int_vars_fused(
-                key_iv, stats_g, 1.0, new_state, inp_cur
+        key, key_state = jax.random.split(key)
+        new_state = kern.propagate_all(key_state, state_g, inp_prev, iv_g)
+        new_state = new_state.at[:, -1].set(ref_x)
+
+        # fused draw + rank-1 statistics update (ONE kernel per GP); the
+        # reference particle's pinned interface variable then replaces the
+        # kernel's draw in both the sample and its rank-1 contribution to
+        # the last statistics column
+        key, key_iv = jax.random.split(key)
+        Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
+            key_iv, Ss_g, 1.0, new_state, inp_cur
+        )
+        pinned_iv = tuple(
+            jnp.atleast_1d(ref_iv[i]).astype(dtype) for i in range(n_gp)
+        )
+        Ss_new = tuple(
+            _repin_last_column(
+                Ss_new[i], new_basis[i][:, -1], new_iv[i][:, -1],
+                pinned_iv[i], ms[i], ns[i],
             )
-
-        new_state, new_iv, new_basis, new_log_weights = common_tail(
-            key, draw_direct, state_g, iv_g, ll_aux_g,
-            inp_prev, inp_cur, obs, ref_x, ref_iv,
+            for i in range(n_gp)
         )
-        new_stats = kern.update_stats(stats_g, new_iv, new_basis)
+        new_iv = tuple(
+            new_iv[i].at[:, -1].set(pinned_iv[i]) for i in range(n_gp)
+        )
+        ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
+        new_log_weights = ll_new - ll_aux_g
 
         ref_T = ref_contribution(ref_x, ref_iv, inp_cur)
         new_ref_stats = tuple(
@@ -334,7 +358,7 @@ def build_csmc(
             new_log_weights,
             new_state,
             new_iv,
-            new_stats,
+            Ss_new,
             new_ref_stats,
         ), emits
 
@@ -426,11 +450,12 @@ def build_csmc(
             )
             carry, emits = jax.lax.scan(step_rank1, carry0, xs)
         else:
-            # per-particle statistics ride the scan flat (rows, N) — see
-            # bipk_tpu.algorithms.apf; the small ref stats stay structured
+            # per-particle statistics ride the scan packed (one (rows, N)
+            # matrix per GP) — see bipk_tpu.algorithms.apf; the small ref
+            # stats stay structured
             carry0 = (
                 log_w0, state0, iv0,
-                tuple(mniw.to_flat_bl(st) for st in stats0),
+                tuple(mniw.pack_stats_bl(st) for st in stats0),
                 ref_stats,
             )
             carry, emits = jax.lax.scan(step_direct, carry0, xs)

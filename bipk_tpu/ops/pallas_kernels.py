@@ -172,6 +172,22 @@ def _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat):
     )
 
 
+def _packed_readers(s_ref, m, n):
+    """Entry readers for the packed statistics layout: ONE ref whose rows
+    are ``[T0 (m*n) | T1 (m*m) | T2 (n*n) | T3 (1)]`` (see
+    ``mniw.pack_stats_bl``). Returns ``(read_t0, read_t1, read_t2,
+    read_t3)``."""
+    o1 = m * n
+    o2 = o1 + m * m
+    o3 = o2 + n * n
+    return (
+        lambda i, c: s_ref[i * n + c],
+        lambda i, j: s_ref[o1 + i * m + j],
+        lambda a, b: s_ref[o2 + a * n + b],
+        lambda: s_ref[o3],
+    )
+
+
 def _factorize_kernel(
     t0_ref, t1_ref, t2_ref, p0_ref, p1_ref, p2_ref,
     chol_ref, white_ref, row_ref, *, m, n, jitter, lam, has_prior
@@ -244,26 +260,17 @@ def _project_kernel(chol_ref, white_ref, phi_ref, mean_ref, col_ref, *, m, n):
     col_ref[0] = acc + 1.0
 
 
-def _factorize_project_kernel(
-    t0_ref, t1_ref, t2_ref, p0_ref, p1_ref, p2_ref, phi_ref,
-    mean_ref, col_ref, row_ref, ld_ref,
-    *, m, n, jitter, lam, has_prior, flat,
+def _factorize_project_core(
+    raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2, *, m, n, jitter, lam
 ):
-    """Fused factorize + predictive projection with NO m^2-sized outputs.
+    """Shared factorize+project computation on particle-block values.
 
-    Computes ``chol(P1 + lam*sym(T1))`` and ``white = L^{-1}(P0 + lam*T0)``
-    entirely in VMEM/registers and emits only the small per-particle
-    results: predictive mean ``white^T L^{-1} phi``, column scale
-    ``|L^{-1} phi|^2 + 1``, Schur complement ``Psi`` (the predictive row
-    scale), and the two log-determinants the marginalized ancestor weights
-    need. The factor itself never touches HBM — in the APF step that
-    removes ~1.1 ms/step of factor writes/reads/relayouts at N = 32768.
+    Factors ``P1 + lam*sym(T1) (+jitter)``, forward-substitutes
+    ``white = L^{-1}(P0 + lam*T0)`` and ``v = L^{-1} phi``, and returns
+    ``(cols, white, v, psi, mean, col, half_ld_t1, logdet_psi)`` — the
+    factor stays entirely in VMEM/registers.
     """
-    assert n <= 2, "fused project kernel supports n <= 2"
-    p0 = p0_ref if has_prior else None
-    p1 = p1_ref if has_prior else None
-    p2 = p2_ref if has_prior else None
-    raw_t0, raw_t1, raw_t2 = _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat)
+    assert n <= 2, "fused project kernels support n <= 2"
     cols = _chol_cols(_make_read_a(raw_t1, p1, jitter, lam, m), m)
 
     half_ld_t1 = jnp.log(cols[0][0])
@@ -279,12 +286,12 @@ def _factorize_project_kernel(
         return a
 
     def read_t2(a_, b):
-        v = raw_t2(a_, b)
+        v_ = raw_t2(a_, b)
         if lam != 1.0:
-            v = v * lam
+            v_ = v_ * lam
         if p2 is not None:
-            v = v + p2[a_, b]
-        return v
+            v_ = v_ + p2[a_, b]
+        return v_
 
     # white = L^{-1} T0 and v = L^{-1} phi in one forward substitution pass
     white = []
@@ -309,22 +316,158 @@ def _factorize_project_kernel(
             for k in range(m):
                 acc = acc - white[k][a] * white[k][b]
             psi[a][b] = acc
-            row_ref[a, b] = acc
     if n == 1:
         logdet_psi = jnp.log(psi[0][0])
     else:
         off = 0.5 * (psi[0][1] + psi[1][0])
         logdet_psi = jnp.log(psi[0][0] * psi[1][1] - off * off)
 
+    mean = []
     for c in range(n):
         acc = white[0][c] * v[0]
         for k in range(1, m):
             acc = acc + white[k][c] * v[k]
-        mean_ref[c] = acc
+        mean.append(acc)
     acc = v[0] * v[0]
     for k in range(1, m):
         acc = acc + v[k] * v[k]
-    col_ref[0] = acc + 1.0
+    col = acc + 1.0
+    return cols, white, v, psi, mean, col, half_ld_t1, logdet_psi
+
+
+def _factorize_project_kernel(
+    t0_ref, t1_ref, t2_ref, p0_ref, p1_ref, p2_ref, phi_ref,
+    mean_ref, col_ref, row_ref, ld_ref,
+    *, m, n, jitter, lam, has_prior, flat,
+):
+    """Fused factorize + predictive projection with NO m^2-sized outputs.
+
+    Computes ``chol(P1 + lam*sym(T1))`` and ``white = L^{-1}(P0 + lam*T0)``
+    entirely in VMEM/registers and emits only the small per-particle
+    results: predictive mean ``white^T L^{-1} phi``, column scale
+    ``|L^{-1} phi|^2 + 1``, Schur complement ``Psi`` (the predictive row
+    scale), and the two log-determinants the marginalized ancestor weights
+    need. The factor itself never touches HBM — in the APF step that
+    removes ~1.1 ms/step of factor writes/reads/relayouts at N = 32768.
+    """
+    p0 = p0_ref if has_prior else None
+    p1 = p1_ref if has_prior else None
+    p2 = p2_ref if has_prior else None
+    raw_t0, raw_t1, raw_t2 = _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat)
+    _, _, _, psi, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+        raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
+        m=m, n=n, jitter=jitter, lam=lam,
+    )
+    for a in range(n):
+        for b in range(n):
+            row_ref[a, b] = psi[a][b]
+    for c in range(n):
+        mean_ref[c] = mean[c]
+    col_ref[0] = col
+    ld_ref[0] = 2.0 * half_ld_t1
+    ld_ref[1] = logdet_psi
+
+
+def _packed_fp_kernel(
+    s_ref, p0_ref, p1_ref, p2_ref, phi_ref,
+    mean_ref, col_ref, row_ref, ld_ref,
+    *, m, n, jitter, lam, has_prior,
+):
+    """:func:`_factorize_project_kernel` over the packed statistics
+    layout (one ref, rows ``[T0|T1|T2|T3]``)."""
+    p0 = p0_ref if has_prior else None
+    p1 = p1_ref if has_prior else None
+    p2 = p2_ref if has_prior else None
+    raw_t0, raw_t1, raw_t2, _ = _packed_readers(s_ref, m, n)
+    _, _, _, psi, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+        raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
+        m=m, n=n, jitter=jitter, lam=lam,
+    )
+    for a in range(n):
+        for b in range(n):
+            row_ref[a, b] = psi[a][b]
+    for c in range(n):
+        mean_ref[c] = mean[c]
+    col_ref[0] = col
+    ld_ref[0] = 2.0 * half_ld_t1
+    ld_ref[1] = logdet_psi
+
+
+def _draw_update_packed_kernel(
+    s_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
+    snew_ref, y_ref, ld_ref,
+    *, m, n, jitter, lam, p3, has_prior,
+):
+    """Fused matrix-t predictive draw + rank-1 statistics update.
+
+    Factors ``prior + lam*stats``, projects at ``phi``, draws the
+    interface variable ``y`` from the matrix-t predictive using the
+    rejection-free polar method (``gaussian.student_t``) on the supplied
+    uniforms ``u, v (n,)``-rows, and writes the UPDATED packed statistics
+    ``lam*stats + suff(y, phi)`` — the draw's m^2-sized factor and the
+    rank-1 sufficient-statistics outer products never touch HBM, and the
+    statistics update costs no separate read-modify-write pass.
+    Emits ``ld = (logdet_T1, logdet_Psi)`` of the factored MNIW for the
+    marginalized ancestor-weight terms (cSMC).
+    """
+    p0 = p0_ref if has_prior else None
+    p1 = p1_ref if has_prior else None
+    p2 = p2_ref if has_prior else None
+    raw_t0, raw_t1, raw_t2, raw_t3 = _packed_readers(s_ref, m, n)
+    _, _, _, psi, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+        raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
+        m=m, n=n, jitter=jitter, lam=lam,
+    )
+
+    # predictive degrees of freedom (sample_projected_bl semantics)
+    df = raw_t3() * lam + p3
+    df_pred = df + (1.0 - n)
+
+    # polar Student-t draws: t = sqrt(nu*(u^(-2/nu)-1)) * cos(2 pi v)
+    two_pi = 6.283185307179586
+    t = []
+    for c in range(n):
+        u = 1.0 - u_ref[c]
+        # exp(x)-1 instead of expm1 (not lowered by Mosaic); x >= 0 here
+        # and the small-x precision loss is far below sampling noise
+        r = jnp.sqrt(
+            df_pred * (jnp.exp(-(2.0 / df_pred) * jnp.log(u)) - 1.0)
+        )
+        t.append(r * jnp.cos(two_pi * v_ref[c]))
+
+    # chol of row_pred = psi / df_pred (n <= 2)
+    inv_df = 1.0 / df_pred
+    if n == 1:
+        scaled = [jnp.sqrt(psi[0][0] * inv_df) * t[0]]
+    else:
+        r00 = psi[0][0] * inv_df
+        off = 0.5 * (psi[0][1] + psi[1][0]) * inv_df
+        r11 = psi[1][1] * inv_df
+        l00 = jnp.sqrt(r00)
+        l10 = off / l00
+        l11 = jnp.sqrt(r11 - l10 * l10)
+        scaled = [l00 * t[0], l10 * t[0] + l11 * t[1]]
+
+    sqrt_col = jnp.sqrt(col)
+    y = [mean[c] + scaled[c] * sqrt_col for c in range(n)]
+
+    # rank-1 update of the RAW statistics (prior never enters the carry)
+    o1 = m * n
+    o2 = o1 + m * m
+    o3 = o2 + n * n
+    phi = [phi_ref[i] for i in range(m)]
+    for i in range(m):
+        for c in range(n):
+            snew_ref[i * n + c] = raw_t0(i, c) * lam + phi[i] * y[c]
+    for i in range(m):
+        for j in range(m):
+            snew_ref[o1 + i * m + j] = raw_t1(i, j) * lam + phi[i] * phi[j]
+    for a in range(n):
+        for b in range(n):
+            snew_ref[o2 + a * n + b] = raw_t2(a, b) * lam + y[a] * y[b]
+    snew_ref[o3] = raw_t3() * lam + 1.0
+    for c in range(n):
+        y_ref[c] = y[c]
     ld_ref[0] = 2.0 * half_ld_t1
     ld_ref[1] = logdet_psi
 
@@ -360,6 +503,61 @@ def _log_base_measure_kernel(
     for a in range(n):
         for b in range(n):
             acc = raw_t2(a, b)
+            for k in range(m):
+                acc = acc - white[k][a] * white[k][b]
+            psi[a][b] = acc
+    if n == 1:
+        logdet_psi = jnp.log(psi[0][0])
+    else:
+        off = 0.5 * (psi[0][1] + psi[1][0])
+        logdet_psi = jnp.log(psi[0][0] * psi[1][1] - off * off)
+
+    out_ref[0] = 2.0 * half_logdet_t1
+    out_ref[1] = logdet_psi
+
+
+def _packed_lbm_kernel(
+    s_ref, p0_ref, p1_ref, p2_ref, out_ref, *, m, n, jitter, has_prior
+):
+    """:func:`_log_base_measure_kernel` over the packed layout, with the
+    (small) prior/reference offset folded in — the full
+    ``prior + ref + stats`` sum is never materialized in HBM."""
+    assert n <= 2, "pallas log_base_measure supports n <= 2"
+    p0 = p0_ref if has_prior else None
+    p1 = p1_ref if has_prior else None
+    p2 = p2_ref if has_prior else None
+    raw_t0, raw_t1, raw_t2, _ = _packed_readers(s_ref, m, n)
+    cols = _chol_cols(_make_read_a(raw_t1, p1, jitter, 1.0, m), m)
+    half_logdet_t1 = jnp.log(cols[0][0])
+    for i in range(1, m):
+        half_logdet_t1 = half_logdet_t1 + jnp.log(cols[i][i])
+
+    def read_t0(i, c):
+        a = raw_t0(i, c)
+        if p0 is not None:
+            a = a + p0[i, c]
+        return a
+
+    def read_t2(a_, b):
+        v = raw_t2(a_, b)
+        if p2 is not None:
+            v = v + p2[a_, b]
+        return v
+
+    white = []
+    for i in range(m):
+        row = []
+        for c in range(n):
+            acc = read_t0(i, c)
+            for k in range(i):
+                acc = acc - cols[k][i] * white[k][c]
+            row.append(acc / cols[i][i])
+        white.append(row)
+
+    psi = [[None] * n for _ in range(n)]
+    for a in range(n):
+        for b in range(n):
+            acc = read_t2(a, b)
             for k in range(m):
                 acc = acc - white[k][a] * white[k][b]
             psi[a][b] = acc
@@ -530,6 +728,175 @@ def project_blocks(chol, white, phi):
         _blockify(phi, total),
     )
     return _unblock(mean, N), _unblock(col, N)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("jitter", "lam", "m", "n"))
+def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
+                             prior=None, m: int = 0, n: int = 0):
+    """:func:`factorize_project_blocks` over packed statistics.
+
+    ``S (m*n+m*m+n*n+1, N)`` (rows ``[T0|T1|T2|T3]``), ``phi (m, N)`` ->
+    ``(mean (n, N), col_scale (N,), row_scale (n, n, N), logdet_T1 (N,),
+    logdet_Psi (N,))``. ONE input operand instead of three — the packed
+    scan carry feeds the kernel without any split/relayout.
+    """
+    rows = m * n + m * m + n * n + 1
+    assert S.shape[0] == rows, (S.shape, rows)
+    N = S.shape[-1]
+    assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
+    tiled = supported(m)
+    block = _BLOCK if tiled else _BLOCK_1D
+    total = -(-N // block) * block
+    grid = (total // block,)
+
+    def shp(*lead):
+        if tiled:
+            return (*lead, total // _LANES, _LANES)
+        return (*lead, total)
+
+    has_prior = prior is not None
+    if has_prior:
+        p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
+    else:
+        zero = jnp.zeros((1, 1), S.dtype)
+        p0 = p1 = p2 = zero
+    prior_specs = [
+        _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
+    ]
+
+    mean, col, row, ld = pl.pallas_call(
+        functools.partial(
+            _packed_fp_kernel, m=m, n=n, jitter=jitter, lam=lam,
+            has_prior=has_prior,
+        ),
+        grid=grid,
+        in_specs=[
+            _spec((rows,), tiled),
+            *prior_specs, _spec((m,), tiled),
+        ],
+        out_specs=[
+            _spec((n,), tiled), _spec((1,), tiled), _spec((n, n), tiled),
+            _spec((2,), tiled),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(shp(n), S.dtype),
+            jax.ShapeDtypeStruct(shp(1), S.dtype),
+            jax.ShapeDtypeStruct(shp(n, n), S.dtype),
+            jax.ShapeDtypeStruct(shp(2), S.dtype),
+        ],
+    )(
+        _blockify(S, total, tiled),
+        p0, p1, p2,
+        _blockify(phi, total, tiled),
+    )
+    mean = _unblock(mean, N, tiled)
+    col = _unblock(col, N, tiled)[0]
+    row = _unblock(row, N, tiled)
+    ld = _unblock(ld, N, tiled)
+    return mean, col, row, ld[0], ld[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("jitter", "lam", "p3", "m", "n")
+)
+def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
+                              prior=None, p3: float = 0.0,
+                              m: int = 0, n: int = 0):
+    """Fused predictive draw + rank-1 statistics update (see
+    ``_draw_update_packed_kernel``).
+
+    ``S (rows, N)`` packed statistics, ``phi (m, N)``, ``u, v (n, N)``
+    uniforms -> ``(S_new (rows, N), y (n, N), logdet_T1 (N,),
+    logdet_Psi (N,))``. ``p3`` is the prior's scalar T3 (degrees of
+    freedom offset). Requires the tiled layout (``supported(m)``).
+    """
+    rows = m * n + m * m + n * n + 1
+    assert S.shape[0] == rows, (S.shape, rows)
+    N = S.shape[-1]
+    assert supported(m), f"m={m} exceeds the fused draw-update budget"
+    total = -(-N // _BLOCK) * _BLOCK
+    grid = (total // _BLOCK,)
+
+    has_prior = prior is not None
+    if has_prior:
+        p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
+    else:
+        zero = jnp.zeros((1, 1), S.dtype)
+        p0 = p1 = p2 = zero
+    prior_specs = [
+        _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
+    ]
+
+    snew, y, ld = pl.pallas_call(
+        functools.partial(
+            _draw_update_packed_kernel, m=m, n=n, jitter=jitter, lam=lam,
+            p3=p3, has_prior=has_prior,
+        ),
+        grid=grid,
+        in_specs=[
+            _spec((rows,)),
+            *prior_specs,
+            _spec((m,)), _spec((n,)), _spec((n,)),
+        ],
+        out_specs=[_spec((rows,)), _spec((n,)), _spec((2,))],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, total // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct((n, total // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct((2, total // _LANES, _LANES), S.dtype),
+        ],
+    )(
+        _blockify(S, total),
+        p0, p1, p2,
+        _blockify(phi, total),
+        _blockify(u, total),
+        _blockify(v, total),
+    )
+    snew = _unblock(snew, N)
+    y = _unblock(y, N)
+    ld = _unblock(ld, N)
+    return snew, y, ld[0], ld[1]
+
+
+@functools.partial(jax.jit, static_argnames=("jitter", "m", "n"))
+def log_base_measure_packed_logdets(S, jitter: float, prior=None,
+                                    m: int = 0, n: int = 0):
+    """Log-determinant pieces over packed statistics with the prior (or
+    prior+reference offset) folded in: ``(logdet_T1, logdet_Psi)`` of
+    ``prior + stats``, each ``(N,)``."""
+    rows = m * n + m * m + n * n + 1
+    assert S.shape[0] == rows, (S.shape, rows)
+    N = S.shape[-1]
+    assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
+    tiled = supported(m)
+    block = _BLOCK if tiled else _BLOCK_1D
+    total = -(-N // block) * block
+    grid = (total // block,)
+    out_shape = (
+        (2, total // _LANES, _LANES) if tiled else (2, total)
+    )
+
+    has_prior = prior is not None
+    if has_prior:
+        p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
+    else:
+        zero = jnp.zeros((1, 1), S.dtype)
+        p0 = p1 = p2 = zero
+    prior_specs = [
+        _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_lbm_kernel, m=m, n=n, jitter=jitter,
+            has_prior=has_prior,
+        ),
+        grid=grid,
+        in_specs=[_spec((rows,), tiled), *prior_specs],
+        out_specs=_spec((2,), tiled),
+        out_shape=jax.ShapeDtypeStruct(out_shape, S.dtype),
+    )(_blockify(S, total, tiled), p0, p1, p2)
+    out = _unblock(out, N, tiled)
+    return out[0], out[1]
 
 
 @functools.partial(jax.jit, static_argnames=("jitter", "m", "n"))

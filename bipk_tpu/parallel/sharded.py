@@ -125,7 +125,9 @@ def build_sharded_apf(
                 f"chunk_size {chunk_size}"
             )
 
-    def reduce_moments(w_global, state, int_vars, stats):
+    def reduce_moments(w_global, state, int_vars, Ss):
+        """Weighted moment reductions; ``Ss`` is the packed statistics
+        carry (one (rows, N) matrix per GP) or structured MNIW tuples."""
         sm = jax.lax.psum(
             jnp.tensordot(state, w_global, axes=(-1, 0)), PARTICLE_AXIS
         )
@@ -135,27 +137,33 @@ def build_sharded_apf(
             )
             for iv in int_vars
         )
-        flat = stats[0].T1.ndim == 2
-        stm = tuple(
-            jax.tree_util.tree_map(
-                lambda s: jax.lax.psum(
-                    jnp.tensordot(s, w_global, axes=(-1, 0)), PARTICLE_AXIS
-                ),
-                st,
-            )
-            for st in stats
-        )
-        if flat:
-            # reduced moments are small — back to matrix form for the
-            # result contract
-            stm = tuple(
-                mniw.MNIW(
-                    st.T0.reshape(kern.priors[i].T0.shape),
-                    st.T1.reshape(kern.priors[i].T1.shape),
-                    st.T2.reshape(kern.priors[i].T2.shape),
-                    st.T3,
+        if Ss and isinstance(Ss[0], jax.Array):
+            stm = []
+            for i, S in enumerate(Ss):
+                red = jax.lax.psum(
+                    jnp.tensordot(S, w_global, axes=(-1, 0)), PARTICLE_AXIS
                 )
-                for i, st in enumerate(stm)
+                m, n = kern.ms[i], kern.ns[i]
+                o1, o2, o3 = m * n, m * n + m * m, m * n + m * m + n * n
+                stm.append(
+                    mniw.MNIW(
+                        red[:o1].reshape(m, n),
+                        red[o1:o2].reshape(m, m),
+                        red[o2:o3].reshape(n, n),
+                        red[o3],
+                    )
+                )
+            stm = tuple(stm)
+        else:
+            stm = tuple(
+                jax.tree_util.tree_map(
+                    lambda s: jax.lax.psum(
+                        jnp.tensordot(s, w_global, axes=(-1, 0)),
+                        PARTICLE_AXIS,
+                    ),
+                    st,
+                )
+                for st in Ss
             )
         ess = 1.0 / jax.lax.psum(jnp.sum(w_global * w_global), PARTICLE_AXIS)
         return sm, ivm, stm, ess
@@ -177,16 +185,18 @@ def build_sharded_apf(
         )
 
         def step(carry, xs):
-            log_weights, state, int_vars, stats = carry
+            log_weights, state, int_vars, Ss = carry
             obs, inp_prev, inp_cur, key = xs  # key: shared across shards
             key_res, key_draws = jax.random.split(key)
             key_state, key_iv = jax.random.split(
                 jax.random.fold_in(key_draws, shard)
             )
 
-            aux_state, aux_iv, lw_aux, ll_aux, _ = kern.auxiliary_fused(
-                stats, forgetting_factor, state, int_vars, inp_prev,
-                inp_cur, obs, log_weights,
+            aux_state, aux_iv, lw_aux, ll_aux, _ = (
+                kern.auxiliary_fused_packed(
+                    Ss, forgetting_factor, state, int_vars, inp_prev,
+                    inp_cur, obs, log_weights,
+                )
             )
 
             w_global = _global_softmax(lw_aux)
@@ -197,78 +207,47 @@ def build_sharded_apf(
                 anc = global_resampling.global_systematic_slice(
                     key_res, w_global, PARTICLE_AXIS, n_dev
                 )
-                state_r, iv_r, stats_r, ll_aux_r = (
+                state_r, iv_r, Ss_r, ll_aux_r = (
                     global_resampling.ring_redistribute(
-                        (state, int_vars, stats, ll_aux),
+                        (state, int_vars, Ss, ll_aux),
                         anc, PARTICLE_AXIS, n_dev,
                     )
                 )
                 offset = jnp.zeros((), dtype=ll_aux.dtype)
             else:
                 # local systematic resampling on globally normalized mass;
-                # one fused gather for all payloads, factors recomputed
+                # the packed statistics gather is one 2-D lane-gather per
+                # GP (sorted systematic ancestors), factors recomputed
                 shard_mass = jnp.sum(w_global)
                 w_local = w_global / jnp.maximum(shard_mass, 1e-30)
                 ancestors = resampling.systematic(
                     jax.random.fold_in(key_res, shard), w_local
                 )
-                state_r, iv_r, stats_r, ll_aux_r = kern.packed_gather(
-                    (state, int_vars, stats, ll_aux), ancestors
+                Ss_r = kern.gather_packed(Ss, ancestors, sorted_indices=True)
+                state_r, iv_r, ll_aux_r = kern.packed_gather(
+                    (state, int_vars, ll_aux), ancestors
                 )
                 offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
 
             new_state = kern.propagate_all(key_state, state_r, inp_prev, iv_r)
-            new_iv, new_basis = kern.draw_int_vars_fused(
-                key_iv, stats_r, forgetting_factor, new_state, inp_cur
-            )
-            new_stats = kern.update_stats(
-                stats_r, new_iv, new_basis, forgetting_factor
+            # fused draw + rank-1 statistics update (ONE kernel per GP)
+            Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
+                key_iv, Ss_r, forgetting_factor, new_state, inp_cur
             )
 
             ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
             new_log_weights = ll_new - ll_aux_r + offset
 
             w_new = _global_softmax(new_log_weights)
-            moments = reduce_moments(w_new, new_state, new_iv, new_stats)
-            return (new_log_weights, new_state, new_iv, new_stats), moments
-
-        # The chunked path carries statistics as FLAT (rows, N) leaves:
-        # TPU tiles pad the last two dims to (8, 128), so (m, 1, N) and
-        # (1, 1, N) leaves bloat 8x and (20, 20, N) 1.2x — at 1M particles
-        # that padding alone is ~2.5 GB of the HBM budget. Flat rows pad
-        # ~nothing and are also the fast layout for resampling gathers.
-        def _flatten_stats(stats_tuple):
-            return tuple(
-                mniw.MNIW(
-                    st.T0.reshape(-1, st.T0.shape[-1]),
-                    st.T1.reshape(-1, st.T1.shape[-1]),
-                    st.T2.reshape(-1, st.T2.shape[-1]),
-                    st.T3,
-                )
-                for st in stats_tuple
-            )
-
-        def _unflatten_stats(stats_flat):
-            out = []
-            for i, st in enumerate(stats_flat):
-                m = kern.priors[i].T1.shape[0]
-                n = kern.priors[i].T2.shape[0]
-                last = st.T0.shape[-1]
-                out.append(
-                    mniw.MNIW(
-                        st.T0.reshape(m, n, last),
-                        st.T1.reshape(m, m, last),
-                        st.T2.reshape(n, n, last),
-                        st.T3,
-                    )
-                )
-            return tuple(out)
+            moments = reduce_moments(w_new, new_state, new_iv, Ss_new)
+            return (new_log_weights, new_state, new_iv, Ss_new), moments
 
         def step_chunked(carry, xs):
             """Microbatched step: identical semantics to ``step`` (local
             scheme) with per-particle temporaries capped at one chunk.
-            ``stats`` leaves are flat (rows, N) in the carry."""
-            log_weights, state, int_vars, stats = carry
+            Statistics ride the carry packed (one (rows, N) matrix per
+            GP)."""
+            log_weights, state, int_vars, Ss = carry
             obs, inp_prev, inp_cur, key = xs
             key_res, key_draws = jax.random.split(key)
             key_base = jax.random.fold_in(key_draws, shard)
@@ -295,9 +274,9 @@ def build_sharded_apf(
             # factors are recomputed in phase 2; keeping them for every
             # chunk would defeat the memory cap)
             def p1_body(c, ll_buf):
-                state_c, iv_c, stats_c = sl((state, int_vars, stats), c)
-                _, _, _, ll_aux_c, _ = kern.auxiliary_fused(
-                    stats_c, forgetting_factor, state_c, iv_c, inp_prev,
+                state_c, iv_c, Ss_c = sl((state, int_vars, Ss), c)
+                _, _, _, ll_aux_c, _ = kern.auxiliary_fused_packed(
+                    Ss_c, forgetting_factor, state_c, iv_c, inp_prev,
                     inp_cur, obs, jnp.zeros((chunk_size,), dtype),
                 )
                 return jax.lax.dynamic_update_slice_in_dim(
@@ -317,31 +296,29 @@ def build_sharded_apf(
             )
             offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
 
-            # phase 2: gather + propagate + draw + update, chunk by chunk;
-            # outputs stream into full-size buffers (the new carry)
+            # phase 2: gather + propagate + fused draw/update, chunk by
+            # chunk; outputs stream into full-size buffers (the new carry)
             zeros_like_full = jax.tree_util.tree_map(
-                jnp.zeros_like, (state, int_vars, stats)
+                jnp.zeros_like, (state, int_vars, Ss)
             )
             ll_new0 = jnp.zeros((n_loc,), dtype)
 
             def p2_body(c, bufs):
-                new_state_b, new_iv_b, new_stats_b, ll_new_b = bufs
+                new_state_b, new_iv_b, new_Ss_b, ll_new_b = bufs
                 idx_c = jax.lax.dynamic_slice_in_dim(
                     ancestors, c * chunk_size, chunk_size, axis=0
                 )
-                state_g, iv_g, stats_g, ll_aux_g = kern.gather(
-                    (state, int_vars, stats, ll_aux), idx_c
+                Ss_g = kern.gather_packed(Ss, idx_c, sorted_indices=True)
+                state_g, iv_g, ll_aux_g = kern.gather(
+                    (state, int_vars, ll_aux), idx_c
                 )
                 kc = jax.random.fold_in(key_base, c)
                 kc_state, kc_iv = jax.random.split(kc)
                 new_state_c = kern.propagate_all(
                     kc_state, state_g, inp_prev, iv_g
                 )
-                new_iv_c, new_basis_c = kern.draw_int_vars_fused(
-                    kc_iv, stats_g, forgetting_factor, new_state_c, inp_cur
-                )
-                new_stats_c = kern.update_stats(
-                    stats_g, new_iv_c, new_basis_c, forgetting_factor
+                new_Ss_c, new_iv_c, _, _ = kern.draw_update_all_packed(
+                    kc_iv, Ss_g, forgetting_factor, new_state_c, inp_cur
                 )
                 ll_new_c = kern.log_lik_all(
                     obs, new_state_c, inp_cur, new_iv_c
@@ -350,13 +327,13 @@ def build_sharded_apf(
                 return (
                     st_chunk(new_state_b, new_state_c, c),
                     st_chunk(new_iv_b, new_iv_c, c),
-                    st_chunk(new_stats_b, new_stats_c, c),
+                    st_chunk(new_Ss_b, new_Ss_c, c),
                     jax.lax.dynamic_update_slice_in_dim(
                         ll_new_b, lw_c, c * chunk_size, axis=0
                     ),
                 )
 
-            new_state, new_iv, new_stats, new_log_weights = (
+            new_state, new_iv, new_Ss, new_log_weights = (
                 jax.lax.fori_loop(
                     0,
                     n_chunks,
@@ -366,19 +343,28 @@ def build_sharded_apf(
             )
 
             w_new = _global_softmax(new_log_weights)
-            moments = reduce_moments(w_new, new_state, new_iv, new_stats)
-            return (new_log_weights, new_state, new_iv, new_stats), moments
+            moments = reduce_moments(w_new, new_state, new_iv, new_Ss)
+            return (new_log_weights, new_state, new_iv, new_Ss), moments
 
         n_steps = observations.shape[0]
         keys = jax.random.split(key, n_steps - 1)
         xs = (observations[1:], inputs[:-1], inputs[1:], keys)
-        # statistics ride the scan in flat (rows, N) layout (see
-        # bipk_tpu.algorithms.apf)
-        carry0 = (log_weights, state, int_vars, _flatten_stats(stats))
+        # statistics ride the scan packed: one (rows, N) matrix per GP
+        # (see bipk_tpu.algorithms.apf)
+        carry0 = (
+            log_weights, state, int_vars,
+            tuple(mniw.pack_stats_bl(st) for st in stats),
+        )
         step_fn = step if chunk_size is None else step_chunked
         carry, (sm, ivm, stm, ess) = jax.lax.scan(step_fn, carry0, xs)
-        final_log_w, final_state, _, final_stats = carry
-        final_stats = _unflatten_stats(final_stats)
+        final_log_w, final_state, _, final_Ss = carry
+        final_stats = tuple(
+            mniw.from_flat_bl(
+                mniw.unpack_stats_bl(S, kern.ms[i], kern.ns[i]),
+                kern.ms[i], kern.ns[i],
+            )
+            for i, S in enumerate(final_Ss)
+        )
 
         w0 = _global_softmax(log_weights)
         sm0, ivm0, stm0, ess0 = reduce_moments(w0, state, int_vars, stats)

@@ -170,3 +170,90 @@ def test_sample_parameters_moments():
     np.testing.assert_allclose(
         emp, expect, rtol=1e-1, atol=0.05 * np.abs(expect).max()
     )
+
+
+def _accumulated_stats_bl(key, m, n, N=64, terms=None):
+    k1, k2, k3 = jax.random.split(key, 3)
+    stats = mniw.suff_stat_bl(
+        jax.random.normal(k2, (n, N), jnp.float32),
+        jax.random.normal(k1, (m, N), jnp.float32),
+    )
+    for i in range(terms or 3 * m):
+        kk = jax.random.fold_in(k3, i)
+        stats = jax.tree_util.tree_map(
+            lambda a, b: a + b,
+            stats,
+            mniw.suff_stat_bl(
+                jax.random.normal(jax.random.fold_in(kk, 1), (n, N), jnp.float32),
+                jax.random.normal(kk, (m, N), jnp.float32),
+            ),
+        )
+    return stats
+
+
+def test_pack_unpack_roundtrip():
+    stats = _accumulated_stats_bl(jax.random.key(0), m=5, n=2)
+    S = mniw.pack_stats_bl(stats)
+    assert S.shape[0] == mniw.packed_rows(5, 2)
+    back = mniw.unpack_stats_bl(S, 5, 2)
+    flat = mniw.to_flat_bl(stats)
+    for a, b in zip(back, flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_factorize_project_packed_matches_flat():
+    m, n = 5, 1
+    stats = _accumulated_stats_bl(jax.random.key(1), m=m, n=n)
+    prior = mniw.MNIW(
+        jnp.zeros((m, n), jnp.float32),
+        jnp.eye(m, dtype=jnp.float32) * 2.0,
+        jnp.eye(n, dtype=jnp.float32) * 3.0,
+        jnp.asarray(4.0, jnp.float32),
+    )
+    phi = jax.random.normal(jax.random.key(2), (m, stats.T3.shape[-1]), jnp.float32)
+    fp_ref = mniw.factorize_project_bl(
+        mniw.to_flat_bl(stats), phi, prior=prior, lam=0.99, use_pallas=False
+    )
+    fp_pk = mniw.factorize_project_packed_bl(
+        mniw.pack_stats_bl(stats), phi, prior=prior, lam=0.99, m=m, n=n,
+        use_pallas=False,
+    )
+    for a, b in zip(fp_pk, fp_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_draw_update_packed_matches_composed():
+    """The fused draw+update (XLA fallback) == factorize_project +
+    sample_projected + rank-1 update composed by hand, bitwise on the
+    same key."""
+    m, n = 5, 2
+    stats = _accumulated_stats_bl(jax.random.key(3), m=m, n=n)
+    prior = mniw.MNIW(
+        jnp.zeros((m, n), jnp.float32),
+        jnp.eye(m, dtype=jnp.float32) * 2.0,
+        jnp.eye(n, dtype=jnp.float32) * 3.0,
+        jnp.asarray(6.0, jnp.float32),
+    )
+    phi = jax.random.normal(jax.random.key(4), (m, stats.T3.shape[-1]), jnp.float32)
+    key = jax.random.key(5)
+    lam = 0.97
+
+    S_new, y, ld1, ldp = mniw.draw_update_packed_bl(
+        key, mniw.pack_stats_bl(stats), phi, prior=prior, lam=lam,
+        m=m, n=n, use_pallas=False,
+    )
+
+    flat = mniw.to_flat_bl(stats)
+    fp = mniw.factorize_project_bl(
+        flat, phi, prior=prior, lam=lam, use_pallas=False
+    )
+    y_ref = mniw.sample_projected_bl(key, fp, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    suff = mniw.suff_stat_flat_bl(y_ref, phi)
+    want = jax.tree_util.tree_map(lambda s, d: s * lam + d, flat, suff)
+    np.testing.assert_allclose(
+        np.asarray(S_new), np.asarray(mniw.pack_stats_bl(want)),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(fp.logdet_T1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldp), np.asarray(fp.logdet_Psi), rtol=1e-6)

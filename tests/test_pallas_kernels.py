@@ -90,3 +90,73 @@ def test_log_base_measure_matches_xla(nat_bl):
     l_x = jax.jit(lambda n: mniw.log_base_measure_bl(n, use_pallas=False))(nat_bl)
     l_p = jax.jit(lambda n: mniw.log_base_measure_bl(n, use_pallas=True))(nat_bl)
     np.testing.assert_allclose(l_p, l_x, rtol=1e-4, atol=2e-2)
+
+
+def _accumulated_packed(m, n, N=2048, seed=42):
+    key = jax.random.key(seed)
+    k1, k2, k3, _ = jax.random.split(key, 4)
+    stats = mniw.suff_stat_bl(
+        jax.random.normal(k2, (n, N), jnp.float32),
+        jax.random.normal(k1, (m, N), jnp.float32),
+    )
+    for i in range(3 * m):
+        kk = jax.random.fold_in(k3, i)
+        stats = jax.tree_util.tree_map(
+            lambda a, b: a + b,
+            stats,
+            mniw.suff_stat_bl(
+                jax.random.normal(jax.random.fold_in(kk, 1), (n, N), jnp.float32),
+                jax.random.normal(kk, (m, N), jnp.float32),
+            ),
+        )
+    prior = mniw.MNIW(
+        jnp.zeros((m, n), jnp.float32),
+        jnp.eye(m, dtype=jnp.float32) * 2.0,
+        jnp.eye(n, dtype=jnp.float32) * 3.0,
+        jnp.asarray(5.0, jnp.float32),
+    )
+    return mniw.pack_stats_bl(stats), prior
+
+
+@pytest.mark.parametrize("m,n", [(20, 1), (9, 1), (6, 2)])
+def test_factorize_project_packed_matches_xla(m, n):
+    S, prior = _accumulated_packed(m, n)
+    phi = jax.random.normal(jax.random.key(3), (m, S.shape[-1]), jnp.float32)
+    args = dict(prior=prior, lam=0.999, m=m, n=n)
+    fp_p = mniw.factorize_project_packed_bl(S, phi, use_pallas=True, **args)
+    fp_x = mniw.factorize_project_packed_bl(S, phi, use_pallas=False, **args)
+    np.testing.assert_allclose(fp_p.mean, fp_x.mean, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        fp_p.col_scale, fp_x.col_scale, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        fp_p.row_scale, fp_x.row_scale, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        fp_p.logdet_T1, fp_x.logdet_T1, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        fp_p.logdet_Psi, fp_x.logdet_Psi, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(fp_p.df, fp_x.df, rtol=1e-6)
+
+
+@pytest.mark.parametrize("m,n", [(20, 1), (9, 1), (6, 2)])
+def test_draw_update_packed_matches_xla(m, n):
+    """Same RNG stream on both paths; the draw may differ by f32
+    cancellation noise (mean + scaled with opposite signs), so the value
+    tolerance is loose while the deterministic log-dets stay tight."""
+    S, prior = _accumulated_packed(m, n)
+    phi = jax.random.normal(jax.random.key(3), (m, S.shape[-1]), jnp.float32)
+    key = jax.random.key(11)
+    args = dict(prior=prior, lam=0.999, m=m, n=n)
+    Sp, yp, l1p, lpp = mniw.draw_update_packed_bl(
+        key, S, phi, use_pallas=True, **args
+    )
+    Sx, yx, l1x, lpx = mniw.draw_update_packed_bl(
+        key, S, phi, use_pallas=False, **args
+    )
+    np.testing.assert_allclose(yp, yx, rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(Sp, Sx, rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(l1p, l1x, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(lpp, lpx, rtol=2e-4, atol=2e-4)
