@@ -61,6 +61,7 @@ def build_gibbs(
     dtype=jnp.float32,
     fused: bool = True,
     mesh=None,
+    shard_mesh=None,
 ) -> Callable:
     """Build the marginalized-PGAS Gibbs sampler.
 
@@ -70,10 +71,26 @@ def build_gibbs(
     ``fused=False`` the outer loop runs on host (use for long runs that want
     progress bars / periodic checkpointing via
     ``bipk_tpu.utils.checkpoint``).
+
+    Multi-chip: ``mesh=`` partitions the single-chip sweep with GSPMD
+    (exact semantics, XLA fallback kernels); ``shard_mesh=`` instead runs
+    the hand-sharded shard_map sweep
+    (:func:`bipk_tpu.parallel.sharded_csmc.build_sharded_csmc`) — fused
+    Pallas kernels per shard, exact global resampling over the mesh. The
+    two are mutually exclusive.
     """
     gps = tuple(gps) if isinstance(gps, (tuple, list)) else (gps,)
     n_gp = len(gps)
-    csmc = build_csmc(ssm, gps, n_particles, dtype=dtype, mesh=mesh)
+    if shard_mesh is not None:
+        if mesh is not None:
+            raise ValueError("pass either mesh= (GSPMD) or shard_mesh=, not both")
+        from bipk_tpu.parallel.sharded_csmc import build_sharded_csmc
+
+        csmc = build_sharded_csmc(
+            ssm, gps, n_particles, shard_mesh, dtype=dtype
+        )
+    else:
+        csmc = build_csmc(ssm, gps, n_particles, dtype=dtype, mesh=mesh)
 
     def sweep(key, observations, inputs, init_mean, init_cov, ref):
         ref_state, ref_iv, ref_stats = ref

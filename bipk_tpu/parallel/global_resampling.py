@@ -79,6 +79,40 @@ def global_systematic_slice(
     return jax.lax.dynamic_slice(ancestors, (me * n_loc,), (n_loc,))
 
 
+def global_categorical(
+    key: jax.Array, w_local: jax.Array, axis_name: str, n_dev: int
+) -> jax.Array:
+    """One categorical draw over globally-normalized sharded weights.
+
+    ``w_local`` is this shard's slice of the globally normalized weights
+    and ``key`` must be identical on every shard. Returns the (replicated)
+    int32 **global** index of the drawn particle — the inverse-CDF draw of
+    ``bipk_tpu.ops.resampling.categorical_from_weights`` evaluated on the
+    distributed CDF: each shard offsets its local cumulative sum by the
+    all-gathered mass prefix and proposes its first crossing; a ``pmin``
+    picks the global first crossing. Used for the reference particle's
+    ancestor draw in the sharded cSMC.
+    """
+    n_loc = w_local.shape[0]
+    n_total = n_loc * n_dev
+    u = jax.random.uniform(key, dtype=w_local.dtype)
+
+    mass = jnp.sum(w_local)
+    masses = jax.lax.all_gather(mass, axis_name)
+    me = jax.lax.axis_index(axis_name)
+    prefix = jnp.sum(
+        jnp.where(jnp.arange(n_dev) < me, masses, jnp.zeros_like(masses))
+    )
+    cdf = prefix + jnp.cumsum(w_local)
+    mask = cdf >= u
+    local_idx = jnp.argmax(mask)
+    cand = jnp.where(
+        jnp.any(mask), me * n_loc + local_idx, n_total
+    ).astype(jnp.int32)
+    idx = jax.lax.pmin(cand, axis_name)
+    return jnp.clip(idx, 0, n_total - 1)
+
+
 def _gather_last(a: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather along the last (particle) axis; flatten >2-D first (TPU
     gathers of >2-D operands lower ~10x slower, see ``APFKernel.gather``)."""

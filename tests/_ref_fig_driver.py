@@ -19,6 +19,16 @@ import runpy
 import sys
 import types
 
+# Force the CPU backend before anything initializes JAX: the reference
+# scripts were written for CPU x64, and on this host the default platform
+# may be a remote-TPU plugin whose tunnel can be slow or down — the figure
+# math is tiny and must not depend on accelerator availability. (The env
+# var JAX_PLATFORMS is ignored by the plugin; only the in-process config
+# update before backend init is honored — see tests/conftest.py.)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import matplotlib
 
 matplotlib.use("Agg")

@@ -1,0 +1,161 @@
+"""shard_map conditional-SMC / PGAS on a simulated 8-device CPU mesh.
+
+The production multi-chip path for the offline sampler: fused kernels per
+shard + exact global resampling + a distributed categorical for the
+reference particle's ancestor draw (see
+``bipk_tpu/parallel/sharded_csmc.py``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bipk_tpu.algorithms import build_apf, build_gibbs
+from bipk_tpu.algorithms.gibbs import summed_reference_stats
+from bipk_tpu.models import toy
+from bipk_tpu.parallel.mesh import particle_mesh
+from bipk_tpu.parallel.sharded_csmc import build_sharded_csmc
+from bipk_tpu.utils.matio import sample_reference_trajectory
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return particle_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def toy_setup():
+    cfg = toy.ToyConfig(n_particles=64, n_steps=24)
+    model = toy.make_model(cfg)
+    key = jax.random.key(cfg.seed)
+    key, key_sim = jax.random.split(key)
+    X, Y = toy.simulate(key_sim, cfg, dtype=jnp.float64)
+    inputs = jnp.zeros((cfg.n_steps, 0))
+
+    apf = jax.jit(
+        build_apf(model.ssm, (model.gp,), cfg.n_particles, 1.0,
+                  dtype=jnp.float64)
+    )
+    key, key_a, key_t = jax.random.split(key, 3)
+    res = apf(key_a, Y, inputs, model.x0, model.p0)
+    ref_state, ref_iv = sample_reference_trajectory(key_t, res)
+    return cfg, model, X, Y, inputs, key, ref_state, ref_iv
+
+
+def test_global_categorical_matches_single_chip(mesh8):
+    """The distributed inverse-CDF draw returns EXACTLY the single-chip
+    ``categorical_from_weights`` index for the same key."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bipk_tpu.ops import resampling
+    from bipk_tpu.parallel import global_resampling as gr
+    from bipk_tpu.parallel.mesh import PARTICLE_AXIS
+
+    for seed in range(6):
+        key_w, key_d = jax.random.split(jax.random.key(seed))
+        n = 128
+        w = jax.nn.softmax(
+            2.0 * jax.random.normal(key_w, (n,), dtype=jnp.float64)
+        )
+        idx_single = resampling.categorical_from_weights(key_d, w)
+
+        fn = shard_map(
+            lambda k, wl: gr.global_categorical(k, wl, PARTICLE_AXIS, 8),
+            mesh=mesh8,
+            in_specs=(P(), P(PARTICLE_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        idx_sharded = jax.jit(fn)(key_d, w)
+        assert int(idx_sharded) == int(idx_single), seed
+
+
+def test_sharded_csmc_runs_and_pins(mesh8, toy_setup):
+    cfg, model, X, Y, inputs, key, ref_state, ref_iv = toy_setup
+    ref_stats = summed_reference_stats(
+        (model.gp,), ref_state, ref_iv, inputs, jnp.float64
+    )
+    run = jax.jit(
+        build_sharded_csmc(
+            model.ssm, (model.gp,), cfg.n_particles, mesh8,
+            dtype=jnp.float64,
+        )
+    )
+    key, key_s = jax.random.split(key)
+    res = run(
+        key_s, Y, inputs, model.x0, model.p0, ref_state, ref_iv, ref_stats
+    )
+    assert res.state_traj.shape == (cfg.n_steps, 1)
+    assert res.int_var_traj[0].shape == (cfg.n_steps, 1)
+    assert np.all(np.isfinite(np.asarray(res.state_traj)))
+    assert np.all(np.isfinite(np.asarray(res.log_weights)))
+    ess = np.asarray(res.ess)
+    assert np.all(ess >= 1.0) and np.all(ess <= cfg.n_particles + 1e-6)
+    # exact global resampling: healthy global ESS, like the single chip
+    assert ess.mean() > 0.3 * cfg.n_particles
+
+
+def test_sharded_gibbs_tracks_posterior(mesh8, toy_setup):
+    """A short sharded PGAS chain (shard_map cSMC inside the fused Gibbs
+    scan) moves and its interface variables track the latent state — the
+    same bar as the GSPMD variant in test_sharded.py."""
+    cfg, model, X, Y, inputs, key, ref_state, ref_iv = toy_setup
+    gibbs = jax.jit(
+        build_gibbs(
+            model.ssm, (model.gp,), cfg.n_particles, 10,
+            dtype=jnp.float64, fused=True, shard_mesh=mesh8,
+        )
+    )
+    key, key_g = jax.random.split(key)
+    out = gibbs(key_g, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    assert out.states.shape == (cfg.n_steps, 10, 1)
+    assert np.all(np.isfinite(np.asarray(out.states)))
+    assert np.all(np.isfinite(np.asarray(out.log_likelihood)))
+    # the chain moves
+    diffs = np.abs(np.diff(np.asarray(out.states[:, :, 0]), axis=1)).mean(0)
+    assert np.all(diffs > 1e-8), diffs.min()
+    # posterior tracks the latent state. The bound is a smoke-level sanity
+    # check: one 10-sweep chain at 64 particles is MC-noisy (observed RMSE
+    # ~2.6-3.1 across seeds on a signal of amplitude ~10); the calibrated
+    # sharded-vs-single equivalence lives in
+    # test_sharded_vs_single_csmc_statistics.
+    iv_mean = np.asarray(out.int_vars[0][:, 5:, 0]).mean(axis=1)
+    rmse = np.sqrt(np.mean((iv_mean[5:] - np.asarray(X)[5:, 0]) ** 2))
+    assert rmse < 3.5, rmse
+
+
+def test_sharded_vs_single_csmc_statistics(mesh8, toy_setup):
+    """Seed-replicated z-test: pooled trajectory draws from repeated
+    sharded cSMC sweeps agree with the single-chip cSMC's in mean."""
+    from bipk_tpu.algorithms import build_csmc
+
+    cfg, model, X, Y, inputs, key, ref_state, ref_iv = toy_setup
+    ref_stats = summed_reference_stats(
+        (model.gp,), ref_state, ref_iv, inputs, jnp.float64
+    )
+    sharded = jax.jit(
+        build_sharded_csmc(
+            model.ssm, (model.gp,), cfg.n_particles, mesh8,
+            dtype=jnp.float64,
+        )
+    )
+    single = jax.jit(
+        build_csmc(
+            model.ssm, (model.gp,), cfg.n_particles, dtype=jnp.float64
+        )
+    )
+    K = 10
+    m_s, m_1 = [], []
+    for s in range(K):
+        key_s = jax.random.fold_in(key, 2000 + s)
+        args = (Y, inputs, model.x0, model.p0, ref_state, ref_iv, ref_stats)
+        m_s.append(float(jnp.mean(sharded(key_s, *args).state_traj[5:, 0])))
+        m_1.append(float(jnp.mean(single(key_s, *args).state_traj[5:, 0])))
+    a, b = np.asarray(m_s), np.asarray(m_1)
+    se = np.sqrt((a.var(ddof=1) + b.var(ddof=1)) / K)
+    z = abs(a.mean() - b.mean()) / max(se, 1e-12)
+    assert z < 4.0, (z, a.mean(), b.mean(), se)
