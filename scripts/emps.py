@@ -39,6 +39,10 @@ def main():
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="crash-safe Gibbs checkpoint; resumes if it exists")
     p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the Gibbs sampler's particle axis over an "
+                        "N-device mesh (shard_map cSMC: fused kernels per "
+                        "shard, exact global resampling)")
     p.add_argument("--out", default="plots/EMPS.mat")
     args = p.parse_args()
 
@@ -91,9 +95,14 @@ def main():
     # host-loop mode: one device dispatch per sweep. The fully fused
     # scan-of-scans is a single multi-minute XLA execution, which exceeds
     # remote-TPU RPC deadlines at reference-scale iteration counts.
+    shard_mesh = None
+    if args.mesh:
+        from bipk_tpu.parallel.mesh import particle_mesh
+
+        shard_mesh = particle_mesh(args.mesh)
     gibbs = build_gibbs(
         model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs,
-        dtype=dtype, fused=False,
+        dtype=dtype, fused=False, shard_mesh=shard_mesh,
     )
     t0 = timelib.perf_counter()
 

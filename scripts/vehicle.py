@@ -32,6 +32,10 @@ def main():
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="crash-safe Gibbs checkpoint; resumes if it exists")
     p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the Gibbs sampler's particle axis over an "
+                        "N-device mesh (shard_map cSMC: fused kernels per "
+                        "shard, exact global resampling)")
     p.add_argument("--out", default="plots/Vehicle.mat")
     args = p.parse_args()
 
@@ -77,10 +81,15 @@ def main():
     ref_run = apf(key_ref, Y, inputs, model.x0, model.p0)
     ref_state, ref_iv = matio.sample_reference_trajectory(key_traj, ref_run)
 
+    shard_mesh = None
+    if args.mesh:
+        from bipk_tpu.parallel.mesh import particle_mesh
+
+        shard_mesh = particle_mesh(args.mesh)
     # host-loop mode (see single_mass_oscillator.py for rationale)
     gibbs = build_gibbs(
         model.ssm, model.gps, cfg.n_particles, cfg.n_gibbs,
-        dtype=dtype, fused=False,
+        dtype=dtype, fused=False, shard_mesh=shard_mesh,
     )
     t0 = timelib.perf_counter()
 
