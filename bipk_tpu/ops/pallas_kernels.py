@@ -57,9 +57,21 @@ def supported_small_out(m: int) -> bool:
     return m <= _MAX_M_1D
 
 
+# BIPK_PALLAS_INTERPRET=1 runs every kernel through the Pallas
+# interpreter (works on any backend): ~100x slower, but lets the
+# TPU-parity suite validate the kernel math on a CPU-only CI host.
+_INTERPRET = bool(os.environ.get("BIPK_PALLAS_INTERPRET"))
+
+
+def _pallas_call(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=_INTERPRET, **kwargs)
+
+
 def enabled() -> bool:
     if os.environ.get("BIPK_DISABLE_PALLAS"):
         return False
+    if _INTERPRET:
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover - backend probing
@@ -602,7 +614,7 @@ def factorize_blocks(T0, T1, T2, jitter: float, lam: float = 1.0,
         _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
     ]
 
-    chol, white, row = pl.pallas_call(
+    chol, white, row = _pallas_call(
         functools.partial(
             _factorize_kernel, m=m, n=n, jitter=jitter, lam=lam,
             has_prior=has_prior,
@@ -670,7 +682,7 @@ def factorize_project_blocks(T0, T1, T2, phi, jitter: float,
         stat_specs = [
             _spec((m, n), tiled), _spec((m, m), tiled), _spec((n, n), tiled)
         ]
-    mean, col, row, ld = pl.pallas_call(
+    mean, col, row, ld = _pallas_call(
         functools.partial(
             _factorize_project_kernel, m=m, n=n, jitter=jitter, lam=lam,
             has_prior=has_prior, flat=flat,
@@ -713,7 +725,7 @@ def project_blocks(chol, white, phi):
     total = -(-N // _BLOCK) * _BLOCK
     grid = (total // _BLOCK,)
 
-    mean, col = pl.pallas_call(
+    mean, col = _pallas_call(
         functools.partial(_project_kernel, m=m, n=n),
         grid=grid,
         in_specs=[_spec((m, m)), _spec((m, n)), _spec((m,))],
@@ -764,7 +776,7 @@ def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
         _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
     ]
 
-    mean, col, row, ld = pl.pallas_call(
+    mean, col, row, ld = _pallas_call(
         functools.partial(
             _packed_fp_kernel, m=m, n=n, jitter=jitter, lam=lam,
             has_prior=has_prior,
@@ -827,7 +839,7 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
         _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
     ]
 
-    snew, y, ld = pl.pallas_call(
+    snew, y, ld = _pallas_call(
         functools.partial(
             _draw_update_packed_kernel, m=m, n=n, jitter=jitter, lam=lam,
             p3=p3, has_prior=has_prior,
@@ -885,7 +897,7 @@ def log_base_measure_packed_logdets(S, jitter: float, prior=None,
         _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
     ]
 
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(
             _packed_lbm_kernel, m=m, n=n, jitter=jitter,
             has_prior=has_prior,
@@ -927,7 +939,7 @@ def log_base_measure_logdets(T0, T1, T2, jitter: float,
         stat_specs = [
             _spec((m, n), tiled), _spec((m, m), tiled), _spec((n, n), tiled)
         ]
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(
             _log_base_measure_kernel, m=m, n=n, jitter=jitter, flat=flat
         ),

@@ -1,11 +1,16 @@
-"""Pallas kernels vs the portable XLA path (runs only on TPU backends).
+"""Pallas kernels vs the portable XLA path.
 
-The CPU suite exercises the XLA implementations; on TPU hardware this
-module cross-validates every Pallas kernel against them on realistic
-accumulated statistics. The shared conftest pins the suite to CPU, so run
-this module alone with the override:
+The CPU suite exercises the XLA implementations; this module
+cross-validates every Pallas kernel against them on realistic accumulated
+statistics. Two ways to run it:
 
+    # on TPU hardware (Mosaic lowering, the production configuration);
+    # the shared conftest pins the suite to CPU, so run the module alone:
     BIPK_TPU_TESTS=1 python -m pytest tests/test_pallas_kernels.py -q
+
+    # on any host via the Pallas interpreter (validates the kernel MATH
+    # without TPU access; ~100x slower per op, same assertions):
+    BIPK_PALLAS_INTERPRET=1 python -m pytest tests/test_pallas_kernels.py -q
 """
 
 import os
@@ -32,7 +37,9 @@ import pytest
 from bipk_tpu.ops import mniw
 
 
-def _tpu_available():
+def _pallas_available():
+    if os.environ.get("BIPK_PALLAS_INTERPRET"):
+        return True
     if not os.environ.get("BIPK_TPU_TESTS"):
         return False
     try:
@@ -42,7 +49,8 @@ def _tpu_available():
 
 
 pytestmark = pytest.mark.skipif(
-    not _tpu_available(), reason="Pallas kernels require a TPU backend"
+    not _pallas_available(),
+    reason="Pallas kernels need a TPU backend or BIPK_PALLAS_INTERPRET=1",
 )
 
 
