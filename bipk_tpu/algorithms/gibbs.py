@@ -62,6 +62,7 @@ def build_gibbs(
     fused: bool = True,
     mesh=None,
     shard_mesh=None,
+    n_chains: int | None = None,
 ) -> Callable:
     """Build the marginalized-PGAS Gibbs sampler.
 
@@ -78,9 +79,36 @@ def build_gibbs(
     (:func:`bipk_tpu.parallel.sharded_csmc.build_sharded_csmc`) — fused
     Pallas kernels per shard, exact global resampling over the mesh. The
     two are mutually exclusive.
+
+    ``n_chains=C`` runs C **independent Gibbs chains in one device
+    program** (the fused sampler vmapped over the chain axis). The
+    reference's workloads use a few hundred particles — a small fraction
+    of one chip — so chain parallelism buys nearly free cross-chain
+    convergence diagnostics (:mod:`bipk_tpu.utils.diagnostics`:
+    split-R-hat, rank-normalized R-hat, bulk ESS; the reference has no
+    quantitative convergence check at all). Every ``GibbsResult`` field
+    gains a leading ``(C,)`` axis. The initial reference trajectory may be
+    shared (``init_ref_state`` of shape ``(T, dx)`` — chains diverge
+    through their RNG streams) or per-chain (leading ``(C,)`` axis on
+    ``init_ref_state`` and every ``init_ref_int_vars`` entry, e.g. from
+    ``C`` weighted draws out of one APF population). Requires
+    ``fused=True`` on a single chip.
     """
     gps = tuple(gps) if isinstance(gps, (tuple, list)) else (gps,)
     n_gp = len(gps)
+    if n_chains is not None:
+        if not fused:
+            raise ValueError(
+                "n_chains requires the fused sampler (fused=True); for "
+                "checkpointed host-loop runs launch one chain per process"
+            )
+        if mesh is not None or shard_mesh is not None:
+            raise ValueError(
+                "n_chains composes with single-chip execution only; on a "
+                "mesh, run one chain per device group instead"
+            )
+        if n_chains < 2:
+            raise ValueError(f"n_chains must be >= 2, got {n_chains}")
     if shard_mesh is not None:
         if mesh is not None:
             raise ValueError("pass either mesh= (GSPMD) or shard_mesh=, not both")
@@ -200,7 +228,53 @@ def build_gibbs(
             )
             return finalize(observations, inputs, states_kt, iv_kt, stats_k)
 
-        return run
+        if n_chains is None:
+            return run
+
+        def run_chains(
+            key,
+            observations,
+            inputs,
+            init_state_mean,
+            init_state_cov,
+            init_ref_state,
+            init_ref_int_vars,
+        ):
+            keys = jax.random.split(key, n_chains)
+            ref_state = jnp.asarray(init_ref_state, dtype=dtype)
+            if ref_state.ndim == 3:  # per-chain (C, T, dx)
+                if ref_state.shape[0] != n_chains:
+                    raise ValueError(
+                        f"per-chain init_ref_state has leading axis "
+                        f"{ref_state.shape[0]}, expected n_chains={n_chains}"
+                    )
+                ref_ivs = tuple(
+                    jnp.asarray(v, dtype=dtype) for v in init_ref_int_vars
+                )
+            else:  # shared initial reference: chains diverge via RNG
+                ref_state = jnp.broadcast_to(
+                    ref_state, (n_chains,) + ref_state.shape
+                )
+                ref_ivs = tuple(
+                    jnp.broadcast_to(
+                        jnp.asarray(v, dtype=dtype),
+                        (n_chains,) + jnp.asarray(v).shape,
+                    )
+                    for v in init_ref_int_vars
+                )
+            return jax.vmap(
+                run, in_axes=(0, None, None, None, None, 0, 0)
+            )(
+                keys,
+                observations,
+                inputs,
+                init_state_mean,
+                init_state_cov,
+                ref_state,
+                ref_ivs,
+            )
+
+        return run_chains
 
     def run_host(
         key,

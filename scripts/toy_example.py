@@ -29,6 +29,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--particles", type=int, default=200)
     p.add_argument("--gibbs-iters", type=int, default=200)
+    p.add_argument(
+        "--chains",
+        type=int,
+        default=1,
+        help="run C independent Gibbs chains in one device program and "
+        "report cross-chain convergence diagnostics (split R-hat, "
+        "rank-normalized R-hat, bulk ESS)",
+    )
     p.add_argument("--quick", action="store_true")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -65,9 +73,15 @@ def main():
     key, key_ref, key_traj = jax.random.split(key, 3)
     ref_run = apf(key_ref, Y, inputs, model.x0, model.p0)
     ref_state, ref_iv = matio.sample_reference_trajectory(key_traj, ref_run)
+    n_chains = max(1, args.chains)
     gibbs = jax.jit(
         build_gibbs(
-            model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs, dtype=dtype
+            model.ssm,
+            (model.gp,),
+            cfg.n_particles,
+            cfg.n_gibbs,
+            dtype=dtype,
+            n_chains=n_chains if n_chains > 1 else None,
         )
     )
     key, key_g = jax.random.split(key)
@@ -75,7 +89,27 @@ def main():
     offline = jax.block_until_ready(
         gibbs(key_g, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
     )
-    print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
+    print(
+        f"{cfg.n_gibbs} Gibbs sweeps"
+        + (f" x {n_chains} chains" if n_chains > 1 else "")
+        + f": {timelib.perf_counter() - t0:.2f}s"
+    )
+    if n_chains > 1:
+        from bipk_tpu.utils import diagnostics
+
+        half = cfg.n_gibbs // 2
+        # scalar summary per draw: trajectory mean of the interface var
+        draws = np.asarray(offline.int_vars[0][:, :, half:, 0]).mean(axis=1)
+        print(
+            f"post-burn-in diagnostics over {n_chains} chains: "
+            f"split-R-hat {float(diagnostics.split_rhat(draws)):.4f}, "
+            f"rank-norm+folded R-hat {float(diagnostics.rhat(draws)):.4f}, "
+            f"bulk ESS {float(diagnostics.ess_mean(draws)):.0f} "
+            f"of {draws.size} draws"
+        )
+        # the .mat contract and plots use chain 0; cross-chain draws are
+        # identically distributed
+        offline = jax.tree_util.tree_map(lambda a: a[0], offline)
 
     print("=== Classic PGAS baseline ===")
     r_chol = model.ssm.output_chol(dtype)
