@@ -5,6 +5,8 @@ convergence check (SURVEY.md §4); chain parallelism and cross-chain
 R-hat/ESS are rebuild additions.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,6 +134,49 @@ def test_build_gibbs_chain_guards():
         )
     with pytest.raises(ValueError, match=">= 2"):
         build_gibbs(model.ssm, (model.gp,), 8, 4, n_chains=1)
+
+
+@pytest.mark.skipif(
+    not (
+        os.environ.get("BIPK_PALLAS_INTERPRET")
+        or os.environ.get("BIPK_TPU_TESTS")
+    ),
+    reason="exercises vmap over the fused Pallas kernels; needs a TPU "
+    "backend or BIPK_PALLAS_INTERPRET=1",
+)
+def test_chains_through_pallas_kernels():
+    """Chain-vmap composes with the fused Pallas kernels: the vehicle
+    model (m=20 uses the tiled draw+update / factorize+project kernels)
+    runs 2 chains x 2 sweeps through pallas_call's batching rule."""
+    from bipk_tpu.models import vehicle as veh
+
+    cfg = veh.VehicleConfig(t_end=4 * 0.02)
+    model = veh.make_model(cfg)
+    key = jax.random.key(0)
+    key, ks = jax.random.split(key)
+    _, Y, _, _, inputs = veh.simulate(ks, cfg, dtype=jnp.float32)
+    T = Y.shape[0]
+    ref_state = jnp.zeros((T, 2), jnp.float32)
+    ref_iv = (
+        jnp.zeros((T, 1), jnp.float32),
+        jnp.zeros((T, 1), jnp.float32),
+    )
+    g = jax.jit(
+        build_gibbs(
+            model.ssm, model.gps, 16, 2, dtype=jnp.float32, n_chains=2
+        )
+    )
+    res = g(
+        key,
+        Y,
+        inputs,
+        jnp.asarray(model.x0, jnp.float32),
+        jnp.asarray(model.p0, jnp.float32),
+        ref_state,
+        ref_iv,
+    )
+    assert res.states.shape == (2, T, 2, 2)
+    assert np.isfinite(np.asarray(res.states)).all()
 
 
 # ---- diagnostics unit tests (no sampler involved) ----
