@@ -91,17 +91,13 @@ def build_gibbs(
     shared (``init_ref_state`` of shape ``(T, dx)`` — chains diverge
     through their RNG streams) or per-chain (leading ``(C,)`` axis on
     ``init_ref_state`` and every ``init_ref_int_vars`` entry, e.g. from
-    ``C`` weighted draws out of one APF population). Requires
-    ``fused=True`` on a single chip.
+    ``C`` weighted draws out of one APF population). Works with both the
+    fused sampler and the checkpointed host loop (the per-sweep dispatch
+    is vmapped over chains; checkpoints store all chains), single chip.
     """
     gps = tuple(gps) if isinstance(gps, (tuple, list)) else (gps,)
     n_gp = len(gps)
     if n_chains is not None:
-        if not fused:
-            raise ValueError(
-                "n_chains requires the fused sampler (fused=True); for "
-                "checkpointed host-loop runs launch one chain per process"
-            )
         if mesh is not None or shard_mesh is not None:
             raise ValueError(
                 "n_chains composes with single-chip execution only; on a "
@@ -185,6 +181,32 @@ def build_gibbs(
         )
         return observations, inputs, (ref_state, ref_iv, ref_stats)
 
+    def chain_refs(init_ref_state, init_ref_int_vars):
+        """Normalize initial references to per-chain ``(C, T, ...)``
+        pytrees (broadcasting a shared reference across chains)."""
+        ref_state = jnp.asarray(init_ref_state, dtype=dtype)
+        if ref_state.ndim == 3:  # per-chain (C, T, dx)
+            if ref_state.shape[0] != n_chains:
+                raise ValueError(
+                    f"per-chain init_ref_state has leading axis "
+                    f"{ref_state.shape[0]}, expected n_chains={n_chains}"
+                )
+            ref_ivs = tuple(
+                jnp.asarray(v, dtype=dtype) for v in init_ref_int_vars
+            )
+        else:  # shared initial reference: chains diverge via RNG
+            ref_state = jnp.broadcast_to(
+                ref_state, (n_chains,) + ref_state.shape
+            )
+            ref_ivs = tuple(
+                jnp.broadcast_to(
+                    jnp.asarray(v, dtype=dtype),
+                    (n_chains,) + jnp.asarray(v).shape,
+                )
+                for v in init_ref_int_vars
+            )
+        return ref_state, ref_ivs
+
     if fused:
 
         def run(
@@ -241,27 +263,7 @@ def build_gibbs(
             init_ref_int_vars,
         ):
             keys = jax.random.split(key, n_chains)
-            ref_state = jnp.asarray(init_ref_state, dtype=dtype)
-            if ref_state.ndim == 3:  # per-chain (C, T, dx)
-                if ref_state.shape[0] != n_chains:
-                    raise ValueError(
-                        f"per-chain init_ref_state has leading axis "
-                        f"{ref_state.shape[0]}, expected n_chains={n_chains}"
-                    )
-                ref_ivs = tuple(
-                    jnp.asarray(v, dtype=dtype) for v in init_ref_int_vars
-                )
-            else:  # shared initial reference: chains diverge via RNG
-                ref_state = jnp.broadcast_to(
-                    ref_state, (n_chains,) + ref_state.shape
-                )
-                ref_ivs = tuple(
-                    jnp.broadcast_to(
-                        jnp.asarray(v, dtype=dtype),
-                        (n_chains,) + jnp.asarray(v).shape,
-                    )
-                    for v in init_ref_int_vars
-                )
+            ref_state, ref_ivs = chain_refs(init_ref_state, init_ref_int_vars)
             return jax.vmap(
                 run, in_axes=(0, None, None, None, None, 0, 0)
             )(
@@ -297,14 +299,31 @@ def build_gibbs(
         identical to an uninterrupted one (the carried key is snapshotted
         after the last completed sweep, so the key stream continues rather
         than replays). The reference has no persistence at all until its
-        final ``savemat`` (SURVEY.md §5).
+        final ``savemat`` (SURVEY.md §5). With ``n_chains=C`` the per-sweep
+        dispatch is vmapped over C independent chains (checkpoints then
+        hold every chain).
         """
         from bipk_tpu.utils import checkpoint as ckpt
 
-        observations, inputs, ref = prepare(
-            observations, inputs, init_ref_state, init_ref_int_vars
-        )
-        jit_sweep = jax.jit(sweep)
+        if n_chains is None:
+            observations, inputs, ref = prepare(
+                observations, inputs, init_ref_state, init_ref_int_vars
+            )
+            jit_sweep = jax.jit(sweep)
+        else:
+            observations = jnp.asarray(observations, dtype=dtype)
+            inputs = jnp.asarray(inputs, dtype=dtype)
+            ref_state, ref_ivs = chain_refs(init_ref_state, init_ref_int_vars)
+            ref_ivs = tuple(
+                v if v.ndim == 3 else v[..., None] for v in ref_ivs
+            )
+            ref_stats = jax.vmap(
+                lambda s, iv: summed_reference_stats(gps, s, iv, inputs, dtype)
+            )(ref_state, ref_ivs)
+            ref = (ref_state, ref_ivs, ref_stats)
+            jit_sweep = jax.jit(
+                jax.vmap(sweep, in_axes=(0, None, None, None, None, 0))
+            )
         states = [ref[0]]
         ivs = [ref[1]]
         stats = [ref[2]]
@@ -325,14 +344,22 @@ def build_gibbs(
                         f"delete it or point --checkpoint elsewhere"
                     )
                 ref = payload["ref"]
-                if jnp.asarray(payload["states"][0]).shape[0] != (
-                    observations.shape[0]
+                saved0 = jnp.asarray(payload["states"][0])
+                # states entries are (T, dx), or (C, T, dx) with chains
+                if saved0.shape[-2] != observations.shape[0] or (
+                    saved0.ndim != (2 if n_chains is None else 3)
+                    or (n_chains is not None and saved0.shape[0] != n_chains)
                 ):
                     raise ValueError(
-                        f"checkpoint {checkpoint_path!r} trajectory length "
-                        f"{jnp.asarray(payload['states'][0]).shape[0]} does "
-                        f"not match this run's {observations.shape[0]} steps;"
-                        f" it belongs to a different run"
+                        f"checkpoint {checkpoint_path!r} holds trajectories "
+                        f"of shape {saved0.shape}, which does not match this "
+                        f"run ({observations.shape[0]} steps"
+                        + (
+                            f", {n_chains} chains"
+                            if n_chains is not None
+                            else ""
+                        )
+                        + "); it belongs to a different run"
                     )
                 states = list(payload["states"])
                 ivs = list(payload["ivs"])
@@ -346,7 +373,8 @@ def build_gibbs(
         for k in range(start, n_iterations):
             key, key_k = jax.random.split(key)
             ref = jit_sweep(
-                key_k,
+                key_k if n_chains is None
+                else jax.random.split(key_k, n_chains),
                 observations,
                 inputs,
                 init_state_mean,
@@ -374,6 +402,11 @@ def build_gibbs(
             )
             for i in range(n_gp)
         )
-        return finalize(observations, inputs, states_kt, iv_kt, stats_k)
+        if n_chains is None:
+            return finalize(observations, inputs, states_kt, iv_kt, stats_k)
+        # stacked shapes are (K, C, ...): map finalize over the chain axis
+        return jax.vmap(
+            finalize, in_axes=(None, None, 1, 1, 1)
+        )(observations, inputs, states_kt, iv_kt, stats_k)
 
     return run_host

@@ -87,6 +87,32 @@ def rhat(draws) -> jnp.ndarray:
     )
 
 
+def gibbs_chain_summary(int_vars, n_burn: int) -> list:
+    """Convergence summary of a chain-parallel ``GibbsResult``.
+
+    ``int_vars`` is the result's tuple of interface-variable traces, each
+    ``(C, T, K, n_i)``; the scalar summary per draw is the trajectory mean
+    of the first component. Returns one dict per learned function:
+    ``{"rhat", "ess", "n_draws"}`` over the post-burn-in draws.
+    """
+    out = []
+    for v in int_vars:
+        draws = np.asarray(v)[:, :, n_burn:, 0].mean(axis=1)  # (C, K-burn)
+        # constant draws (every chain glued to its reference) make R-hat
+        # 0/0: the conditional SMC is degenerate at this particle count —
+        # report that explicitly rather than a NaN
+        stuck = bool(np.ptp(draws) == 0.0)
+        out.append(
+            {
+                "rhat": float("nan") if stuck else float(rhat(draws)),
+                "ess": float("nan") if stuck else float(ess_mean(draws)),
+                "n_draws": int(draws.size),
+                "stuck": stuck,
+            }
+        )
+    return out
+
+
 def ess_mean(draws) -> jnp.ndarray:
     """Bulk effective sample size across chains.
 

@@ -36,6 +36,11 @@ def main():
     p.add_argument("--data-dir", default="data")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--chains", type=int, default=1, metavar="C",
+                   help="run C independent Gibbs chains in one device "
+                        "program and report cross-chain R-hat/ESS; each "
+                        "chain starts from its own weighted draw out of "
+                        "the APF population")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="crash-safe Gibbs checkpoint; resumes if it exists")
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -90,7 +95,18 @@ def main():
     print("=== Offline Algorithm ===")
     key, key_ref, key_traj = jax.random.split(key, 3)
     ref_run = apf(key_ref, Y, inputs, model.x0, model.p0)
-    ref_state, ref_iv = matio.sample_reference_trajectory(key_traj, ref_run)
+    n_chains = max(1, args.chains)
+    if n_chains > 1:
+        refs = [
+            matio.sample_reference_trajectory(k, ref_run)
+            for k in jax.random.split(key_traj, n_chains)
+        ]
+        ref_state = jnp.stack([r[0] for r in refs])
+        ref_iv = (jnp.stack([r[1][0] for r in refs]),)
+    else:
+        ref_state, ref_iv = matio.sample_reference_trajectory(
+            key_traj, ref_run
+        )
 
     # host-loop mode: one device dispatch per sweep. The fully fused
     # scan-of-scans is a single multi-minute XLA execution, which exceeds
@@ -103,6 +119,7 @@ def main():
     gibbs = build_gibbs(
         model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs,
         dtype=dtype, fused=False, shard_mesh=shard_mesh,
+        n_chains=n_chains if n_chains > 1 else None,
     )
     t0 = timelib.perf_counter()
 
@@ -117,7 +134,29 @@ def main():
               checkpoint_path=args.checkpoint,
               checkpoint_every=args.checkpoint_every)
     )
-    print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
+    print(
+        f"{cfg.n_gibbs} Gibbs sweeps"
+        + (f" x {n_chains} chains" if n_chains > 1 else "")
+        + f": {timelib.perf_counter() - t0:.2f}s"
+    )
+    if n_chains > 1:
+        from bipk_tpu.utils import diagnostics
+
+        d = diagnostics.gibbs_chain_summary(
+            offline.int_vars, cfg.n_gibbs // 2
+        )[0]
+        if d["stuck"]:
+            print(
+                "  friction F: chains never moved — the conditional SMC "
+                "is degenerate at this configuration; increase --particles"
+            )
+        else:
+            print(
+                f"  friction F: R-hat {d['rhat']:.4f}, "
+                f"bulk ESS {d['ess']:.0f} of {d['n_draws']} draws"
+            )
+        # the .mat contract uses chain 0; draws are identically distributed
+        offline = jax.tree_util.tree_map(lambda a: a[0], offline)
 
     # posterior mean over Gibbs iterations
     # (parity: /root/reference/EMPS_Simulation.py:83-88)

@@ -97,16 +97,20 @@ def main():
     if n_chains > 1:
         from bipk_tpu.utils import diagnostics
 
-        half = cfg.n_gibbs // 2
-        # scalar summary per draw: trajectory mean of the interface var
-        draws = np.asarray(offline.int_vars[0][:, :, half:, 0]).mean(axis=1)
-        print(
-            f"post-burn-in diagnostics over {n_chains} chains: "
-            f"split-R-hat {float(diagnostics.split_rhat(draws)):.4f}, "
-            f"rank-norm+folded R-hat {float(diagnostics.rhat(draws)):.4f}, "
-            f"bulk ESS {float(diagnostics.ess_mean(draws)):.0f} "
-            f"of {draws.size} draws"
-        )
+        d = diagnostics.gibbs_chain_summary(
+            offline.int_vars, cfg.n_gibbs // 2
+        )[0]
+        if d["stuck"]:
+            print(
+                "chains never moved — the conditional SMC is degenerate "
+                "at this configuration; increase --particles"
+            )
+        else:
+            print(
+                f"post-burn-in diagnostics over {n_chains} chains: "
+                f"R-hat {d['rhat']:.4f}, bulk ESS {d['ess']:.0f} "
+                f"of {d['n_draws']} draws"
+            )
         # the .mat contract and plots use chain 0; cross-chain draws are
         # identically distributed
         offline = jax.tree_util.tree_map(lambda a: a[0], offline)

@@ -29,6 +29,11 @@ def main():
     p.add_argument("--quick", action="store_true")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--chains", type=int, default=1, metavar="C",
+                   help="run C independent Gibbs chains in one device "
+                        "program and report cross-chain R-hat/ESS; each "
+                        "chain starts from its own weighted draw out of "
+                        "the APF population")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="crash-safe Gibbs checkpoint; resumes if it exists")
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -79,7 +84,21 @@ def main():
     print("=== Offline Algorithm ===")
     key, key_ref, key_traj = jax.random.split(key, 3)
     ref_run = apf(key_ref, Y, inputs, model.x0, model.p0)
-    ref_state, ref_iv = matio.sample_reference_trajectory(key_traj, ref_run)
+    n_chains = max(1, args.chains)
+    if n_chains > 1:
+        # one weighted trajectory draw per chain
+        refs = [
+            matio.sample_reference_trajectory(k, ref_run)
+            for k in jax.random.split(key_traj, n_chains)
+        ]
+        ref_state = jnp.stack([r[0] for r in refs])
+        ref_iv = tuple(
+            jnp.stack([r[1][i] for r in refs]) for i in range(len(model.gps))
+        )
+    else:
+        ref_state, ref_iv = matio.sample_reference_trajectory(
+            key_traj, ref_run
+        )
 
     shard_mesh = None
     if args.mesh:
@@ -90,6 +109,7 @@ def main():
     gibbs = build_gibbs(
         model.ssm, model.gps, cfg.n_particles, cfg.n_gibbs,
         dtype=dtype, fused=False, shard_mesh=shard_mesh,
+        n_chains=n_chains if n_chains > 1 else None,
     )
     t0 = timelib.perf_counter()
 
@@ -104,7 +124,33 @@ def main():
               checkpoint_path=args.checkpoint,
               checkpoint_every=args.checkpoint_every)
     )
-    print(f"{cfg.n_gibbs} Gibbs sweeps: {timelib.perf_counter() - t0:.2f}s")
+    print(
+        f"{cfg.n_gibbs} Gibbs sweeps"
+        + (f" x {n_chains} chains" if n_chains > 1 else "")
+        + f": {timelib.perf_counter() - t0:.2f}s"
+    )
+    if n_chains > 1:
+        from bipk_tpu.utils import diagnostics
+
+        for name, d in zip(
+            ("mu_f", "mu_r"),
+            diagnostics.gibbs_chain_summary(
+                offline.int_vars, cfg.n_gibbs // 2
+            ),
+        ):
+            if d["stuck"]:
+                print(
+                    f"  {name}: chains never moved — the conditional SMC "
+                    f"is degenerate at this configuration; increase "
+                    f"--particles"
+                )
+            else:
+                print(
+                    f"  {name}: R-hat {d['rhat']:.4f}, "
+                    f"bulk ESS {d['ess']:.0f} of {d['n_draws']} draws"
+                )
+        # the .mat contract uses chain 0; draws are identically distributed
+        offline = jax.tree_util.tree_map(lambda a: a[0], offline)
     offline_alpha_f, offline_alpha_r = side_slip_all(offline.states, inputs)
 
     # plotting grids (parity: VehicleSimulation_Simulation.py:99-102)

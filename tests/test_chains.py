@@ -128,12 +128,79 @@ def test_rhat_on_mixed_chains(chain_run):
 def test_build_gibbs_chain_guards():
     cfg = toy.ToyConfig(n_particles=8, n_steps=4)
     model = toy.make_model(cfg)
-    with pytest.raises(ValueError, match="fused"):
-        build_gibbs(
-            model.ssm, (model.gp,), 8, 4, fused=False, n_chains=2
-        )
     with pytest.raises(ValueError, match=">= 2"):
         build_gibbs(model.ssm, (model.gp,), 8, 4, n_chains=1)
+
+
+def test_host_loop_chains_and_checkpoint_resume(tmp_path):
+    """The host-loop sampler supports chains too: same leading-(C,) result
+    layout, and a checkpointed run that is killed mid-chain resumes to a
+    bitwise-identical result."""
+    n_particles, n_steps, n_iter, n_chains = 30, 15, 8, 3
+    cfg = toy.ToyConfig(n_particles=n_particles, n_steps=n_steps)
+    model = toy.make_model(cfg)
+    key = jax.random.key(7)
+    key, key_sim = jax.random.split(key)
+    _, Y = toy.simulate(key_sim, cfg, dtype=jnp.float64)
+    inputs = jnp.zeros((n_steps, 0))
+    ref_state = jnp.zeros((n_steps, 1), dtype=jnp.float64)
+    ref_iv = (jnp.zeros((n_steps, 1), dtype=jnp.float64),)
+    key, key_g = jax.random.split(key)
+
+    gibbs = build_gibbs(
+        model.ssm,
+        (model.gp,),
+        n_particles,
+        n_iter,
+        dtype=jnp.float64,
+        fused=False,
+        n_chains=n_chains,
+    )
+    args = (Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    res = gibbs(key_g, *args)
+    assert res.states.shape == (n_chains, n_steps, n_iter, 1)
+    assert np.all(np.isfinite(np.asarray(res.states)))
+    # chains start at the shared reference and diverge
+    for c in range(n_chains):
+        np.testing.assert_allclose(
+            np.asarray(res.states[c, :, 0, :]), np.asarray(ref_state),
+            rtol=1e-9,
+        )
+    assert np.abs(
+        np.asarray(res.states[1:, :, -1, 0])
+        - np.asarray(res.states[0, :, -1, 0])
+    ).max() > 1e-3
+
+    # interrupted checkpointed run resumes bitwise-identically
+    ck = str(tmp_path / "chains.ckpt")
+
+    class Stop(Exception):
+        pass
+
+    def killer(k, ref):
+        if k == 5:
+            raise Stop
+
+    with pytest.raises(Stop):
+        gibbs(key_g, *args, callback=killer, checkpoint_path=ck,
+              checkpoint_every=2)
+    res2 = gibbs(key_g, *args, checkpoint_path=ck, checkpoint_every=2)
+    np.testing.assert_array_equal(
+        np.asarray(res.states), np.asarray(res2.states)
+    )
+
+    # a single-chain checkpoint cannot resume a chains run
+    gibbs1 = build_gibbs(
+        model.ssm, (model.gp,), n_particles, n_iter,
+        dtype=jnp.float64, fused=False,
+    )
+    ck1 = str(tmp_path / "single.ckpt")
+    ref1 = (ref_state, ref_iv)
+    with pytest.raises(Stop):
+        gibbs1(key_g, Y, inputs, model.x0, model.p0, *ref1,
+               callback=killer, checkpoint_path=ck1, checkpoint_every=2)
+    with pytest.raises(ValueError, match="different run"):
+        gibbs(key_g, *args, checkpoint_path=ck1)
 
 
 @pytest.mark.skipif(
@@ -241,6 +308,17 @@ def test_ess_ar1_matches_theory():
     e = float(diagnostics.ess_mean(x))
     expected = c * n / tau_true
     assert 0.5 * expected < e < 2.0 * expected, (e, expected)
+
+
+def test_gibbs_chain_summary_flags_stuck_chains():
+    """Constant draws (degenerate cSMC: every sweep returns the pinned
+    reference) are reported as stuck, not as a NaN R-hat."""
+    rng = np.random.default_rng(7)
+    moving = rng.normal(size=(3, 10, 8, 1))
+    stuck = np.full((3, 10, 8, 1), 0.5)
+    out = diagnostics.gibbs_chain_summary((moving, stuck), n_burn=2)
+    assert not out[0]["stuck"] and np.isfinite(out[0]["rhat"])
+    assert out[1]["stuck"] and np.isnan(out[1]["rhat"])
 
 
 def test_diagnostics_vector_quantities():
