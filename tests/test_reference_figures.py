@@ -114,6 +114,61 @@ def test_vehicle_reference_figures_run_unchanged(tmp_path):
 
 
 @run_gated
+def test_publication_figures_run_unchanged():
+    """The reference's composite ``Publication_Figures.py`` (1204 lines,
+    ``/root/reference/Publication_Figures.py``) runs unchanged against
+    FULL-SIZE ``.mat`` results from all three examples.
+
+    Unlike the per-example figure scripts, the composite hard-indexes
+    Gibbs iteration 799 (``PGAS_slice_idx = [49, 799]``,
+    ``Publication_Figures.py:20``) and time step 499, so it only works on
+    reference-configuration runs (800 sweeps; >=500 steps). It therefore
+    runs in the repo's ``plots/`` directory against artifacts produced by
+    the full-scale entry-script runs and skips with a clear reason when
+    they are absent or undersized. The EMPS section additionally needs the
+    classic-PGAS baseline traces (``offline_Sigma_X_PGAS``), i.e. an
+    ``emps.py`` run without ``--skip-baseline``.
+    """
+    import scipy.io
+
+    need = {
+        "SingleMassOscillator.mat": ("offline_Sigma_X", 800, 500),
+        "Vehicle.mat": ("offline_Sigma_X", 800, 500),
+        "EMPS.mat": ("offline_Sigma_X_PGAS", 800, 500),
+    }
+    for fname, (key, min_iters, min_steps) in need.items():
+        path = os.path.join(REPO, "plots", fname)
+        if not os.path.exists(path):
+            pytest.skip(f"full-size plots/{fname} not present")
+        shape = scipy.io.loadmat(path)[key].shape
+        if shape[0] < min_steps or shape[1] < min_iters:
+            pytest.skip(
+                f"plots/{fname} {key} shape {shape} below full scale "
+                f"({min_steps} steps x {min_iters} iters)"
+            )
+
+    for pdf in ("results_traj_offline.pdf", "results_fcn_offline.pdf",
+                "results_traj_online.pdf", "results_fcn_online.pdf"):
+        stale = os.path.join(REPO, "plots", pdf)
+        if os.path.exists(stale):
+            os.remove(stale)
+
+    res = subprocess.run(
+        [sys.executable, DRIVER, os.path.join(REF, "Publication_Figures.py")],
+        cwd=REPO,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    for pdf in ("results_traj_offline.pdf", "results_fcn_offline.pdf",
+                "results_traj_online.pdf", "results_fcn_online.pdf"):
+        path = os.path.join(REPO, "plots", pdf)
+        assert os.path.exists(path) and os.path.getsize(path) > 0, pdf
+
+
+@run_gated
 def test_emps_reference_figures_run_unchanged(tmp_path):
     _generate(
         tmp_path,
