@@ -63,6 +63,7 @@ def build_gibbs(
     mesh=None,
     shard_mesh=None,
     n_chains: int | None = None,
+    chain_mesh=None,
 ) -> Callable:
     """Build the marginalized-PGAS Gibbs sampler.
 
@@ -93,18 +94,37 @@ def build_gibbs(
     ``init_ref_state`` and every ``init_ref_int_vars`` entry, e.g. from
     ``C`` weighted draws out of one APF population). Works with both the
     fused sampler and the checkpointed host loop (the per-sweep dispatch
-    is vmapped over chains; checkpoints store all chains), single chip.
+    is vmapped over chains; checkpoints store all chains).
+
+    ``chain_mesh=`` (with ``n_chains=C``) shards the **chain axis** over a
+    1-D device mesh: C/D chains per device, zero collectives (chains are
+    independent), linear multi-chip scaling. This is the right multi-chip
+    layout for reference-scale workloads — a few hundred particles occupy
+    a sliver of one chip, so particle-axis sharding (``mesh=`` /
+    ``shard_mesh=``) only pays off at large particle counts, while chain
+    sharding turns the idle chips into extra posterior draws. Requires
+    ``C`` divisible by the mesh's device count. Mutually exclusive with
+    ``mesh=``/``shard_mesh=`` (per-chain execution stays single-device).
     """
     gps = tuple(gps) if isinstance(gps, (tuple, list)) else (gps,)
     n_gp = len(gps)
+    if chain_mesh is not None and n_chains is None:
+        raise ValueError("chain_mesh= requires n_chains=")
     if n_chains is not None:
         if mesh is not None or shard_mesh is not None:
             raise ValueError(
-                "n_chains composes with single-chip execution only; on a "
-                "mesh, run one chain per device group instead"
+                "n_chains composes with particle-axis sharding only via "
+                "chain_mesh=; per-chain execution stays single-device"
             )
         if n_chains < 2:
             raise ValueError(f"n_chains must be >= 2, got {n_chains}")
+        if chain_mesh is not None:
+            n_mesh_dev = chain_mesh.devices.size
+            if n_chains % n_mesh_dev != 0:
+                raise ValueError(
+                    f"n_chains={n_chains} must be divisible by the chain "
+                    f"mesh's {n_mesh_dev} devices"
+                )
     if shard_mesh is not None:
         if mesh is not None:
             raise ValueError("pass either mesh= (GSPMD) or shard_mesh=, not both")
@@ -207,6 +227,31 @@ def build_gibbs(
             )
         return ref_state, ref_ivs
 
+    if chain_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _chain_sharding = NamedSharding(
+            chain_mesh, PartitionSpec(chain_mesh.axis_names[0])
+        )
+
+        def shard_chains(tree):
+            """Constrain every leaf's leading (chain) axis onto the mesh.
+
+            Chains are independent, so this is the only annotation GSPMD
+            needs: the whole vmapped sampler partitions into C/D
+            single-device programs with zero collectives.
+            """
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, _chain_sharding
+                ),
+                tree,
+            )
+    else:
+
+        def shard_chains(tree):
+            return tree
+
     if fused:
 
         def run(
@@ -264,16 +309,19 @@ def build_gibbs(
         ):
             keys = jax.random.split(key, n_chains)
             ref_state, ref_ivs = chain_refs(init_ref_state, init_ref_int_vars)
-            return jax.vmap(
-                run, in_axes=(0, None, None, None, None, 0, 0)
-            )(
-                keys,
-                observations,
-                inputs,
-                init_state_mean,
-                init_state_cov,
-                ref_state,
-                ref_ivs,
+            keys, ref_state, ref_ivs = shard_chains(
+                (keys, ref_state, ref_ivs)
+            )
+            return shard_chains(
+                jax.vmap(run, in_axes=(0, None, None, None, None, 0, 0))(
+                    keys,
+                    observations,
+                    inputs,
+                    init_state_mean,
+                    init_state_cov,
+                    ref_state,
+                    ref_ivs,
+                )
             )
 
         return run_chains
@@ -321,6 +369,10 @@ def build_gibbs(
                 lambda s, iv: summed_reference_stats(gps, s, iv, inputs, dtype)
             )(ref_state, ref_ivs)
             ref = (ref_state, ref_ivs, ref_stats)
+            if chain_mesh is not None:
+                # committed chain-sharded inputs; jit propagates the
+                # sharding through every sweep (no per-sweep resharding)
+                ref = jax.device_put(ref, _chain_sharding)
             jit_sweep = jax.jit(
                 jax.vmap(sweep, in_axes=(0, None, None, None, None, 0))
             )
@@ -344,6 +396,8 @@ def build_gibbs(
                         f"delete it or point --checkpoint elsewhere"
                     )
                 ref = payload["ref"]
+                if n_chains is not None and chain_mesh is not None:
+                    ref = jax.device_put(ref, _chain_sharding)
                 saved0 = jnp.asarray(payload["states"][0])
                 # states entries are (T, dx), or (C, T, dx) with chains
                 if saved0.shape[-2] != observations.shape[0] or (
@@ -370,11 +424,18 @@ def build_gibbs(
                     f"sweep {start}/{n_iterations}",
                     flush=True,
                 )
+        def sweep_keys(key_k):
+            if n_chains is None:
+                return key_k
+            ks = jax.random.split(key_k, n_chains)
+            if chain_mesh is not None:
+                ks = jax.device_put(ks, _chain_sharding)
+            return ks
+
         for k in range(start, n_iterations):
             key, key_k = jax.random.split(key)
             ref = jit_sweep(
-                key_k if n_chains is None
-                else jax.random.split(key_k, n_chains),
+                sweep_keys(key_k),
                 observations,
                 inputs,
                 init_state_mean,

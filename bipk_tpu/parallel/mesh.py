@@ -28,5 +28,30 @@ def particle_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(PARTICLE_AXIS))
 
 
+CHAIN_AXIS = "c"
+
+
+def chain_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the Gibbs-chain axis.
+
+    Reference-scale workloads (a few hundred particles,
+    ``/root/reference/src/Vehicle.py:180``) occupy a sliver of one chip, so
+    sharding *particles* across a slice is wasted ICI; the right multi-chip
+    layout for them is one group of independent chains per device —
+    embarrassingly parallel, zero collectives, linear scaling. Used by
+    ``build_gibbs(..., n_chains=C, chain_mesh=chain_mesh(D))``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (CHAIN_AXIS,))
+
+
+def chain_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (chain) sharding on ``mesh``'s first axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -93,7 +93,10 @@ def gibbs_chain_summary(int_vars, n_burn: int) -> list:
     ``int_vars`` is the result's tuple of interface-variable traces, each
     ``(C, T, K, n_i)``; the scalar summary per draw is the trajectory mean
     of the first component. Returns one dict per learned function:
-    ``{"rhat", "ess", "n_draws"}`` over the post-burn-in draws.
+    ``{"rhat", "ess", "n_draws"}`` over the post-burn-in draws. Runs too
+    short to diagnose (fewer than 4 post-burn-in draws per chain — split
+    R-hat needs 2 per half) report NaNs rather than raising: summarizing a
+    finished sampling run must never crash it.
     """
     out = []
     for v in int_vars:
@@ -102,10 +105,13 @@ def gibbs_chain_summary(int_vars, n_burn: int) -> list:
         # 0/0: the conditional SMC is degenerate at this particle count —
         # report that explicitly rather than a NaN
         stuck = bool(np.ptp(draws) == 0.0)
+        too_short = draws.shape[1] < 4
         out.append(
             {
-                "rhat": float("nan") if stuck else float(rhat(draws)),
-                "ess": float("nan") if stuck else float(ess_mean(draws)),
+                "rhat": float("nan") if stuck or too_short
+                else float(rhat(draws)),
+                "ess": float("nan") if stuck or too_short
+                else float(ess_mean(draws)),
                 "n_draws": int(draws.size),
                 "stuck": stuck,
             }

@@ -47,7 +47,9 @@ def main():
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="shard the Gibbs sampler's particle axis over an "
                         "N-device mesh (shard_map cSMC: fused kernels per "
-                        "shard, exact global resampling)")
+                        "shard, exact global resampling); with --chains C > 1, "
+                        "shards the chain axis instead (C/N chains "
+                        "per device, zero collectives)")
     p.add_argument("--out", default="plots/EMPS.mat")
     args = p.parse_args()
 
@@ -111,8 +113,13 @@ def main():
     # host-loop mode: one device dispatch per sweep. The fully fused
     # scan-of-scans is a single multi-minute XLA execution, which exceeds
     # remote-TPU RPC deadlines at reference-scale iteration counts.
-    shard_mesh = None
-    if args.mesh:
+    shard_mesh = chain_mesh = None
+    if args.mesh and n_chains > 1:
+        # chains are independent: shard the chain axis, not particles
+        from bipk_tpu.parallel.mesh import chain_mesh as make_chain_mesh
+
+        chain_mesh = make_chain_mesh(args.mesh)
+    elif args.mesh:
         from bipk_tpu.parallel.mesh import particle_mesh
 
         shard_mesh = particle_mesh(args.mesh)
@@ -120,6 +127,7 @@ def main():
         model.ssm, (model.gp,), cfg.n_particles, cfg.n_gibbs,
         dtype=dtype, fused=False, shard_mesh=shard_mesh,
         n_chains=n_chains if n_chains > 1 else None,
+        chain_mesh=chain_mesh,
     )
     t0 = timelib.perf_counter()
 

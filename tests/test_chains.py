@@ -132,6 +132,95 @@ def test_build_gibbs_chain_guards():
         build_gibbs(model.ssm, (model.gp,), 8, 4, n_chains=1)
 
 
+def test_chain_mesh_guards():
+    from bipk_tpu.parallel.mesh import chain_mesh as make_chain_mesh
+
+    cfg = toy.ToyConfig(n_particles=8, n_steps=4)
+    model = toy.make_model(cfg)
+    mesh = make_chain_mesh(4)
+    with pytest.raises(ValueError, match="requires n_chains"):
+        build_gibbs(model.ssm, (model.gp,), 8, 4, chain_mesh=mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        build_gibbs(
+            model.ssm, (model.gp,), 8, 4, n_chains=6, chain_mesh=mesh
+        )
+
+
+def test_chains_sharded_over_mesh(chain_run):
+    """chain_mesh= partitions the chain axis over devices: the fused
+    sampler runs with the result actually laid out across the mesh, the
+    chains stay pinned to the shared start, and the posterior matches the
+    single-device chain run (identical per-chain keys → the only possible
+    differences are XLA reassociation noise)."""
+    from bipk_tpu.parallel.mesh import chain_mesh as make_chain_mesh
+
+    cfg, model, X, Y, inputs, ref_state, ref_iv, key_g, res = chain_run
+    mesh = make_chain_mesh(N_CHAINS)
+    gibbs = jax.jit(
+        build_gibbs(
+            model.ssm,
+            (model.gp,),
+            N_PARTICLES,
+            N_ITER,
+            dtype=jnp.float64,
+            n_chains=N_CHAINS,
+            chain_mesh=mesh,
+        )
+    )
+    res_m = gibbs(key_g, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    # actually sharded: the states live on all mesh devices
+    assert len(res_m.states.sharding.device_set) == N_CHAINS
+    states = np.asarray(res_m.states)
+    assert states.shape == (N_CHAINS, N_STEPS, N_ITER, 1)
+    for c in range(N_CHAINS):
+        np.testing.assert_allclose(
+            states[c, :, 0, :], np.asarray(ref_state), rtol=1e-9
+        )
+    # same sampler, same keys: the post-burn-in posterior mean agrees with
+    # the unsharded run (exact parity is not guaranteed — resampling
+    # comparisons can flip under reassociation — but the distributions are
+    # identical and the draws near-identical in practice)
+    half = N_ITER // 2
+    post_m = states[:, :, half:, 0].mean()
+    post = np.asarray(res.states[:, :, half:, 0]).mean()
+    np.testing.assert_allclose(post_m, post, atol=0.35)
+
+
+def test_host_loop_chains_sharded_over_mesh():
+    """The host-loop sampler composes with chain_mesh= too (the per-sweep
+    vmapped dispatch keeps the chain axis on the mesh)."""
+    from bipk_tpu.parallel.mesh import chain_mesh as make_chain_mesh
+
+    n_particles, n_steps, n_iter, n_chains = 20, 10, 5, 4
+    cfg = toy.ToyConfig(n_particles=n_particles, n_steps=n_steps)
+    model = toy.make_model(cfg)
+    key = jax.random.key(11)
+    key, key_sim = jax.random.split(key)
+    _, Y = toy.simulate(key_sim, cfg, dtype=jnp.float64)
+    inputs = jnp.zeros((n_steps, 0))
+    ref_state = jnp.zeros((n_steps, 1), dtype=jnp.float64)
+    ref_iv = (jnp.zeros((n_steps, 1), dtype=jnp.float64),)
+
+    gibbs = build_gibbs(
+        model.ssm,
+        (model.gp,),
+        n_particles,
+        n_iter,
+        dtype=jnp.float64,
+        fused=False,
+        n_chains=n_chains,
+        chain_mesh=make_chain_mesh(n_chains),
+    )
+    key, key_g = jax.random.split(key)
+    res = gibbs(key_g, Y, inputs, model.x0, model.p0, ref_state, ref_iv)
+    assert res.states.shape == (n_chains, n_steps, n_iter, 1)
+    assert np.all(np.isfinite(np.asarray(res.states)))
+    assert np.abs(
+        np.asarray(res.states[1:, :, -1, 0])
+        - np.asarray(res.states[0, :, -1, 0])
+    ).max() > 1e-3
+
+
 def test_host_loop_chains_and_checkpoint_resume(tmp_path):
     """The host-loop sampler supports chains too: same leading-(C,) result
     layout, and a checkpointed run that is killed mid-chain resumes to a
@@ -308,6 +397,17 @@ def test_ess_ar1_matches_theory():
     e = float(diagnostics.ess_mean(x))
     expected = c * n / tau_true
     assert 0.5 * expected < e < 2.0 * expected, (e, expected)
+
+
+def test_gibbs_chain_summary_too_short_reports_nan():
+    """A run with < 4 post-burn-in draws per chain cannot be diagnosed;
+    the summary reports NaNs instead of raising (a finished sampling run
+    must never crash in its reporting step)."""
+    rng = np.random.default_rng(8)
+    short = rng.normal(size=(2, 10, 4, 1))
+    out = diagnostics.gibbs_chain_summary((short,), n_burn=2)
+    assert np.isnan(out[0]["rhat"]) and np.isnan(out[0]["ess"])
+    assert out[0]["n_draws"] == 4 and not out[0]["stuck"]
 
 
 def test_gibbs_chain_summary_flags_stuck_chains():
