@@ -13,20 +13,28 @@ see ``benchmarks/measure_cpu_baseline.py`` and ``BASELINE_MEASURED.json``).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env overrides: BENCH_PARTICLES (default 32768), BENCH_STEPS (default 1500).
+
+Resilience: the measurement runs in a child process (``BIPK_BENCH_WORKER=1``)
+with a timeout and up to ``BIPK_BENCH_ATTEMPTS`` (default 3) retries — the
+remote-TPU tunnel in this environment intermittently hangs or refuses
+backend init (irreversibly poisoning the process that touched it), and a
+transient outage must not cost the benchmark run. Only the worker's final
+JSON line is forwarded to stdout.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
     n_particles = int(os.environ.get("BENCH_PARTICLES", 32768))
     n_steps = int(os.environ.get("BENCH_STEPS", 1500))
 
@@ -90,5 +98,51 @@ def main():
     print(json.dumps(result))
 
 
+def orchestrate() -> int:
+    attempts = int(os.environ.get("BIPK_BENCH_ATTEMPTS", "3"))
+    timeout = float(os.environ.get("BIPK_BENCH_TIMEOUT", "1500"))
+    env = dict(os.environ, BIPK_BENCH_WORKER="1")
+    for i in range(attempts):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench attempt {i + 1}/{attempts} timed out after "
+                f"{timeout:.0f}s (hung TPU tunnel?)",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
+        line = next(
+            (
+                ln
+                for ln in reversed(res.stdout.strip().splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if res.returncode == 0 and line:
+            print(line)
+            return 0
+        print(
+            f"bench attempt {i + 1}/{attempts} rc={res.returncode}\n"
+            f"{res.stderr[-2000:]}",
+            file=sys.stderr,
+            flush=True,
+        )
+        if i + 1 < attempts:
+            time.sleep(float(os.environ.get("BIPK_BENCH_RETRY_SLEEP", "60")))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BIPK_BENCH_WORKER") == "1":
+        main()
+    else:
+        sys.exit(orchestrate())
