@@ -43,6 +43,10 @@ def main():
                         "shard, exact global resampling); with --chains C > 1, "
                         "shards the chain axis instead (C/N chains "
                         "per device, zero collectives)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the online sweep "
+                        "into DIR (compile excluded; view with "
+                        "tensorboard/xprof)")
     p.add_argument("--out", default="plots/Vehicle.mat")
     args = p.parse_args()
 
@@ -78,8 +82,15 @@ def main():
         )
     )
     key, key_apf = jax.random.split(key)
+    if args.profile:  # compile outside the trace, capture pure execution
+        jax.block_until_ready(apf(key_apf, Y, inputs, model.x0, model.p0))
+    from bipk_tpu.utils.profiling import profile_trace
+
     t0 = timelib.perf_counter()
-    online = jax.block_until_ready(apf(key_apf, Y, inputs, model.x0, model.p0))
+    with profile_trace(args.profile):
+        online = jax.block_until_ready(
+            apf(key_apf, Y, inputs, model.x0, model.p0)
+        )
     print(f"online sweep: {timelib.perf_counter() - t0:.2f}s")
     online_alpha_f, online_alpha_r = side_slip_all(online.states, inputs)
 
