@@ -41,7 +41,7 @@ def smo_mat(tmp_path_factory):
         ],
         capture_output=True,
         text=True,
-        timeout=560,
+        timeout=1800,
         cwd=REPO,
     )
     assert res.returncode == 0, res.stderr[-3000:]
@@ -81,7 +81,7 @@ def test_figure_renders(smo_mat, tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=540,
+        timeout=1800,
         cwd=REPO,
     )
     assert res.returncode == 0, res.stderr[-3000:]
