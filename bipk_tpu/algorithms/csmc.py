@@ -68,9 +68,10 @@ def build_csmc(
     init_state_cov, ref_state, ref_int_vars, ref_summed_stats) ->
     CSMCResult`` where ``ref_state (T, dx)``, ``ref_int_vars`` is a tuple of
     ``(T, n_i)`` trajectories and ``ref_summed_stats`` the tuple of summed
-    MNIW statistics of the reference trajectory. ``rank1`` selects the
-    O(p^2)-per-step factor-carry formulation (default) vs the
-    refactorize-per-step one (see module docstring).
+    MNIW statistics of the reference trajectory. ``rank1=True`` opts into
+    the O(p^2)-per-step factor-carry formulation; the default is the fused
+    refactorize-per-step path, which measures faster on v5e (see module
+    docstring).
     """
     kern = APFKernel(ssm, gps, dtype, mesh=mesh)
     n_gp = kern.n_gp
