@@ -323,16 +323,7 @@ class APFKernel:
         out = []
         for i, S in enumerate(Ss):
             red = jnp.tensordot(S, weights, axes=(-1, 0))
-            m, n = self.ms[i], self.ns[i]
-            o1, o2, o3 = m * n, m * n + m * m, m * n + m * m + n * n
-            out.append(
-                mniw.MNIW(
-                    red[:o1].reshape(m, n),
-                    red[o1:o2].reshape(m, m),
-                    red[o2:o3].reshape(n, n),
-                    red[o3],
-                )
-            )
+            out.append(mniw.unpack_reduced(red, self.ms[i], self.ns[i]))
         return tuple(out)
 
     def draw_int_vars(self, key, factors_res, new_state, inp_cur):

@@ -83,12 +83,16 @@ def build_csmc(
         pinned reference's in the last (reference-particle) statistics
         column: T1's phi-outer-product term is identical, only the T0/T2
         terms involve y (parity: ``Algorithm3.py:147-174``)."""
-        o1, o2 = m * n, m * n + m * m
-        o3 = o2 + n * n
+        o1 = m * n
+        o2 = o1 + m * (m + 1) // 2
+        o3 = o2 + n * (n + 1) // 2
         d0 = (phi_last[:, None] * (y_ref - y_drawn)[None, :]).reshape(-1)
-        d2 = (
-            jnp.outer(y_ref, y_ref) - jnp.outer(y_drawn, y_drawn)
-        ).reshape(-1)
+        d2 = mniw.sym_to_tri_rows(
+            (
+                jnp.outer(y_ref, y_ref) - jnp.outer(y_drawn, y_drawn)
+            ).reshape(-1),
+            n,
+        )
         col = S_new[:, -1]
         col = col.at[:o1].add(d0).at[o2:o3].add(d2)
         return S_new.at[:, -1].set(col)

@@ -668,38 +668,106 @@ def from_flat_bl(nat: MNIW, m: int, n: int) -> MNIW:
 
 
 # ---------------------------------------------------------------------------
-# Packed batch-last layout: ONE (m*n + m*m + n*n + 1, N) matrix per GP with
-# rows [T0 | T1 | T2 | T3].
+# Packed batch-last layout: ONE (m*n + m(m+1)/2 + n(n+1)/2 + 1, N) matrix
+# per GP with rows [T0 | tril(T1) | tril(T2) | T3].
 #
 # The per-particle statistics are the dominant payload of a filter step
-# (e.g. 2 x 422 rows x N on the vehicle workload). Carrying them as ONE
-# matrix lets the resampling gather run as a single 2-D lane-gather with
-# no per-step concatenate/split (profiled at ~0.9 ms/step of pure layout
-# churn at N = 32768 on v5e), and the fused kernels read/write the packed
-# block directly with row-index arithmetic.
+# (e.g. 2 x 422 rows x N on the vehicle workload in full-square form).
+# Carrying them as ONE matrix lets the resampling gather run as a single
+# 2-D lane-gather with no per-step concatenate/split (profiled at
+# ~0.9 ms/step of pure layout churn at N = 32768 on v5e), and the fused
+# kernels read/write the packed block directly with row-index arithmetic.
+#
+# T1 (phi phi^T sums) and T2 (y y^T sums) are symmetric by construction,
+# so only the lower triangles ride the carry: row-major triangular
+# storage ``tri[i(i+1)/2 + j] = X[i, j]`` for ``i >= j``. On the vehicle
+# workload that shrinks the packed matrix from 422 to 232 rows per GP —
+# the resampling gather (the dominant per-step cost at N = 32768) and
+# every kernel read/write of the carry move ~45% fewer bytes. Packing
+# symmetrizes (0.5 * (X + X^T)), matching the kernels' previous on-read
+# symmetrization exactly for symmetric inputs.
 # ---------------------------------------------------------------------------
+
+
+def _tri_pack_idx(m: int):
+    """Flat row indices (into an ``(m*m,)``-flattened square) of the lower
+    triangle, row-major, plus the transposed entries' indices."""
+    import numpy as np
+
+    i, j = np.tril_indices(m)
+    return i * m + j, j * m + i
+
+
+def _tri_unpack_idx(m: int):
+    """For each entry of the flattened square, the triangular row holding
+    its value: ``full[i*m + j] = tri[max(i,j)(max(i,j)+1)/2 + min(i,j)]``."""
+    import numpy as np
+
+    i, j = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    hi, lo = np.maximum(i, j), np.minimum(i, j)
+    return (hi * (hi + 1) // 2 + lo).reshape(-1)
+
+
+def sym_to_tri_rows(X: jax.Array, m: int) -> jax.Array:
+    """``(m*m, ...)`` flattened-square rows -> ``(m(m+1)/2, ...)``
+    triangular rows of the symmetrized matrix ``0.5 * (X + X^T)``."""
+    lower, upper = _tri_pack_idx(m)
+    return 0.5 * (jnp.take(X, lower, axis=0) + jnp.take(X, upper, axis=0))
+
+
+def tri_to_sym_rows(Xt: jax.Array, m: int) -> jax.Array:
+    """Triangular rows -> full ``(m*m, ...)`` flattened-square rows."""
+    return jnp.take(Xt, _tri_unpack_idx(m), axis=0)
 
 
 def packed_rows(m: int, n: int) -> int:
     """Row count of the packed statistics layout."""
-    return m * n + m * m + n * n + 1
+    return m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
 
 
 def pack_stats_bl(stats: MNIW) -> jax.Array:
     """Batch-last MNIW statistics (structured or flat) -> packed matrix."""
     if stats.T1.ndim != 2:
         stats = to_flat_bl(stats)
+    m = int(round(stats.T1.shape[0] ** 0.5))
+    n = int(round(stats.T2.shape[0] ** 0.5))
     return jnp.concatenate(
-        [stats.T0, stats.T1, stats.T2, stats.T3[None]], axis=0
+        [
+            stats.T0,
+            sym_to_tri_rows(stats.T1, m),
+            sym_to_tri_rows(stats.T2, n),
+            stats.T3[None],
+        ],
+        axis=0,
     )
 
 
 def unpack_stats_bl(S: jax.Array, m: int, n: int) -> MNIW:
-    """Packed matrix -> flat batch-last MNIW statistics (views)."""
+    """Packed matrix -> flat batch-last MNIW statistics (copies: the
+    triangular T1/T2 rows are mirrored back to full squares)."""
     o1 = m * n
-    o2 = o1 + m * m
-    o3 = o2 + n * n
-    return MNIW(S[:o1], S[o1:o2], S[o2:o3], S[o3])
+    o2 = o1 + m * (m + 1) // 2
+    o3 = o2 + n * (n + 1) // 2
+    return MNIW(
+        S[:o1],
+        tri_to_sym_rows(S[o1:o2], m),
+        tri_to_sym_rows(S[o2:o3], n),
+        S[o3],
+    )
+
+
+def unpack_reduced(red: jax.Array, m: int, n: int) -> MNIW:
+    """An importance-weight-reduced packed column ``(rows,)`` ->
+    structured unbatched MNIW (``(m, n)/(m, m)/(n, n)/()`` leaves)."""
+    o1 = m * n
+    o2 = o1 + m * (m + 1) // 2
+    o3 = o2 + n * (n + 1) // 2
+    return MNIW(
+        red[:o1].reshape(m, n),
+        tri_to_sym_rows(red[o1:o2], m).reshape(m, m),
+        tri_to_sym_rows(red[o2:o3], n).reshape(n, n),
+        red[o3],
+    )
 
 
 def factorize_project_packed_bl(

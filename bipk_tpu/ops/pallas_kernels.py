@@ -186,16 +186,22 @@ def _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat):
 
 def _packed_readers(s_ref, m, n):
     """Entry readers for the packed statistics layout: ONE ref whose rows
-    are ``[T0 (m*n) | T1 (m*m) | T2 (n*n) | T3 (1)]`` (see
-    ``mniw.pack_stats_bl``). Returns ``(read_t0, read_t1, read_t2,
-    read_t3)``."""
+    are ``[T0 (m*n) | tril(T1) (m(m+1)/2) | tril(T2) (n(n+1)/2) | T3 (1)]``
+    (see ``mniw.pack_stats_bl``). T1/T2 are stored as row-major lower
+    triangles (they are symmetric by construction); off-triangle reads
+    mirror. Returns ``(read_t0, read_t1, read_t2, read_t3)``."""
     o1 = m * n
-    o2 = o1 + m * m
-    o3 = o2 + n * n
+    o2 = o1 + m * (m + 1) // 2
+    o3 = o2 + n * (n + 1) // 2
+
+    def tri(o, i, j):
+        hi, lo = (i, j) if i >= j else (j, i)
+        return s_ref[o + hi * (hi + 1) // 2 + lo]
+
     return (
         lambda i, c: s_ref[i * n + c],
-        lambda i, j: s_ref[o1 + i * m + j],
-        lambda a, b: s_ref[o2 + a * n + b],
+        lambda i, j: tri(o1, i, j),
+        lambda a, b: tri(o2, a, b),
         lambda: s_ref[o3],
     )
 
@@ -463,20 +469,25 @@ def _draw_update_packed_kernel(
     sqrt_col = jnp.sqrt(col)
     y = [mean[c] + scaled[c] * sqrt_col for c in range(n)]
 
-    # rank-1 update of the RAW statistics (prior never enters the carry)
+    # rank-1 update of the RAW statistics (prior never enters the carry);
+    # T1/T2 ride the carry as lower triangles — only those rows exist
     o1 = m * n
-    o2 = o1 + m * m
-    o3 = o2 + n * n
+    o2 = o1 + m * (m + 1) // 2
+    o3 = o2 + n * (n + 1) // 2
     phi = [phi_ref[i] for i in range(m)]
     for i in range(m):
         for c in range(n):
             snew_ref[i * n + c] = raw_t0(i, c) * lam + phi[i] * y[c]
     for i in range(m):
-        for j in range(m):
-            snew_ref[o1 + i * m + j] = raw_t1(i, j) * lam + phi[i] * phi[j]
+        for j in range(i + 1):
+            snew_ref[o1 + i * (i + 1) // 2 + j] = (
+                raw_t1(i, j) * lam + phi[i] * phi[j]
+            )
     for a in range(n):
-        for b in range(n):
-            snew_ref[o2 + a * n + b] = raw_t2(a, b) * lam + y[a] * y[b]
+        for b in range(a + 1):
+            snew_ref[o2 + a * (a + 1) // 2 + b] = (
+                raw_t2(a, b) * lam + y[a] * y[b]
+            )
     snew_ref[o3] = raw_t3() * lam + 1.0
     for c in range(n):
         y_ref[c] = y[c]
@@ -747,12 +758,13 @@ def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
                              prior=None, m: int = 0, n: int = 0):
     """:func:`factorize_project_blocks` over packed statistics.
 
-    ``S (m*n+m*m+n*n+1, N)`` (rows ``[T0|T1|T2|T3]``), ``phi (m, N)`` ->
+    ``S (m*n + m(m+1)/2 + n(n+1)/2 + 1, N)`` (rows
+    ``[T0|tril(T1)|tril(T2)|T3]``), ``phi (m, N)`` ->
     ``(mean (n, N), col_scale (N,), row_scale (n, n, N), logdet_T1 (N,),
     logdet_Psi (N,))``. ONE input operand instead of three — the packed
     scan carry feeds the kernel without any split/relayout.
     """
-    rows = m * n + m * m + n * n + 1
+    rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     assert S.shape[0] == rows, (S.shape, rows)
     N = S.shape[-1]
     assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
@@ -822,7 +834,7 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
     logdet_Psi (N,))``. ``p3`` is the prior's scalar T3 (degrees of
     freedom offset). Requires the tiled layout (``supported(m)``).
     """
-    rows = m * n + m * m + n * n + 1
+    rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     assert S.shape[0] == rows, (S.shape, rows)
     N = S.shape[-1]
     assert supported(m), f"m={m} exceeds the fused draw-update budget"
@@ -875,7 +887,7 @@ def log_base_measure_packed_logdets(S, jitter: float, prior=None,
     """Log-determinant pieces over packed statistics with the prior (or
     prior+reference offset) folded in: ``(logdet_T1, logdet_Psi)`` of
     ``prior + stats``, each ``(N,)``."""
-    rows = m * n + m * m + n * n + 1
+    rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     assert S.shape[0] == rows, (S.shape, rows)
     N = S.shape[-1]
     assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"

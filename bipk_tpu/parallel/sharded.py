@@ -143,16 +143,7 @@ def build_sharded_apf(
                 red = jax.lax.psum(
                     jnp.tensordot(S, w_global, axes=(-1, 0)), PARTICLE_AXIS
                 )
-                m, n = kern.ms[i], kern.ns[i]
-                o1, o2, o3 = m * n, m * n + m * m, m * n + m * m + n * n
-                stm.append(
-                    mniw.MNIW(
-                        red[:o1].reshape(m, n),
-                        red[o1:o2].reshape(m, m),
-                        red[o2:o3].reshape(n, n),
-                        red[o3],
-                    )
-                )
+                stm.append(mniw.unpack_reduced(red, kern.ms[i], kern.ns[i]))
             stm = tuple(stm)
         else:
             stm = tuple(
