@@ -67,9 +67,21 @@ def main():
 
     run_variant("no-resampler", {(resampling, "systematic"): identity_resample})
 
-    # all resampling gathers removed (keeps the resampler compute)
-    def identity_gather_packed(Ss, idx, sorted_indices=False):
-        return Ss
+    # round-2 path: separate XLA statistics gather feeding the no-gather
+    # draw/update kernel (isolates the benefit of the in-kernel gather)
+    def separate_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur):
+        Ss_g = self.gather_packed(Ss, ancestors, sorted_indices=True)
+        return self.draw_update_all_packed(key, Ss_g, lam, new_state, inp_cur)
+
+    run_variant(
+        "separate-gather",
+        {(APFKernel, "draw_update_gather_all_packed"): separate_gather_du},
+    )
+
+    # all resampling gathers removed (keeps the resampler compute): the
+    # statistics skip their in-kernel gather, small payloads skip XLA's
+    def no_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur):
+        return self.draw_update_all_packed(key, Ss, lam, new_state, inp_cur)
 
     def identity_gather(tree, idx):
         return tree
@@ -77,7 +89,7 @@ def main():
     run_variant(
         "no-gathers",
         {
-            (APFKernel, "gather_packed"): staticmethod(identity_gather_packed),
+            (APFKernel, "draw_update_gather_all_packed"): no_gather_du,
             (APFKernel, "packed_gather"): staticmethod(identity_gather),
         },
     )
@@ -99,16 +111,18 @@ def main():
         "no-aux-factorize", {(mniw, "factorize_project_packed_bl"): cheap_fp}
     )
 
-    # fused draw+update kernel replaced by a carry passthrough + cheap draw
-    def cheap_draw_update(key, S, phi, prior=None, lam=1.0, m=0, n=0,
-                          jitter=None, use_pallas=None):
-        Np = S.shape[-1]
+    # fused gather+draw+update kernel replaced by a carry passthrough +
+    # cheap draw (no gather, no factorization, no statistics update)
+    def cheap_draw_update(key, S, ancestors, phi, prior=None, lam=1.0,
+                          m=0, n=0, jitter=None, use_pallas=None):
+        Np = ancestors.shape[-1]
         y = jax.random.normal(key, (n, Np), S.dtype)
         zeros = jnp.zeros((Np,), S.dtype)
-        return S, y, zeros, zeros
+        return S[:, :Np], y, zeros, zeros
 
     run_variant(
-        "no-draw-update", {(mniw, "draw_update_packed_bl"): cheap_draw_update}
+        "no-draw-update",
+        {(mniw, "draw_update_gather_packed_bl"): cheap_draw_update},
     )
 
     # trivial basis functions

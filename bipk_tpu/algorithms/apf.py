@@ -285,6 +285,30 @@ class APFKernel:
         ll_aux = self.log_lik_all(obs, aux_state, inp_cur, aux_iv)
         return aux_state, aux_iv, ll_aux + log_weights, ll_aux, fps
 
+    def draw_update_gather_all_packed(
+        self, key, Ss, ancestors, lam, new_state, inp_cur
+    ):
+        """:meth:`draw_update_all_packed` with the resampling gather fused
+        into the kernel: takes the PRE-resampling packed statistics plus
+        the (non-decreasing) ancestor indices; the gathered statistics
+        never exist in HBM (see ``mniw.draw_update_gather_packed_bl``)."""
+        new_basis = tuple(
+            self.basis_all(i, new_state, inp_cur) for i in range(self.n_gp)
+        )
+        keys = jax.random.split(key, self.n_gp)
+        outs = tuple(
+            mniw.draw_update_gather_packed_bl(
+                keys[i], Ss[i], ancestors, new_basis[i],
+                prior=self.priors[i], lam=lam, m=self.ms[i], n=self.ns[i],
+                use_pallas=self.use_pallas,
+            )
+            for i in range(self.n_gp)
+        )
+        Ss_new = tuple(o[0] for o in outs)
+        new_iv = tuple(o[1] for o in outs)
+        lds = tuple((o[2], o[3]) for o in outs)
+        return Ss_new, new_iv, new_basis, lds
+
     def draw_update_all_packed(self, key, Ss_g, lam, new_state, inp_cur):
         """Fused predictive draw + rank-1 statistics update per GP over
         the packed carry: ONE kernel per GP computes the factor, draws the
@@ -498,12 +522,10 @@ def build_apf(
         key, key_res = jax.random.split(key)
         ancestors = resampling.systematic(key_res, jax.nn.softmax(lw_aux))
 
-        # the dominant payload (per-particle statistics) rides the scan as
-        # ONE packed matrix per GP, so the resampling gather is one plain
-        # 2-D lane-gather per GP — no per-step concatenate/split/relayout
-        # (profiled at ~0.9 ms/step of layout churn at N = 32768 on v5e);
-        # systematic ancestors are non-decreasing by construction
-        Ss_g = kern.gather_packed(Ss, ancestors, sorted_indices=True)
+        # small payloads (state, interface vars, aux log-liks, ~10 rows)
+        # gather through XLA; the dominant payload (packed per-particle
+        # statistics, hundreds of rows per GP) never does — its resampling
+        # gather is fused into the draw/update kernel below
         state_g, iv_g, ll_aux_g = kern.packed_gather(
             (state, int_vars, ll_aux), ancestors
         )
@@ -511,13 +533,16 @@ def build_apf(
         key, key_state = jax.random.split(key)
         new_state = kern.propagate_all(key_state, state_g, inp_prev, iv_g)
 
-        # fused draw + rank-1 statistics update: post-resampling factors
-        # are re-derived from the gathered statistics inside ONE kernel
-        # that also draws the interface variables and writes the updated
-        # packed statistics — the suff-stat outer products never hit HBM
+        # fused resampling gather + draw + rank-1 statistics update: ONE
+        # kernel per GP reads each output particle's ancestor column
+        # (systematic ancestors are non-decreasing, so a block's ancestors
+        # live in a small lane window), re-derives the factor, draws the
+        # interface variables, and writes the updated packed statistics —
+        # the gathered statistics and suff-stat outer products never hit
+        # HBM (five HBM passes over the statistics per step -> three)
         key, key_iv = jax.random.split(key)
-        Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
-            key_iv, Ss_g, forgetting_factor, new_state, inp_cur
+        Ss_new, new_iv, new_basis, _ = kern.draw_update_gather_all_packed(
+            key_iv, Ss, ancestors, forgetting_factor, new_state, inp_cur
         )
 
         ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)

@@ -78,24 +78,6 @@ def build_csmc(
     ms = tuple(gp.prior.T1.shape[0] for gp in kern.gps)
     ns = tuple(gp.prior.T2.shape[0] for gp in kern.gps)
 
-    def _repin_last_column(S_new, phi_last, y_drawn, y_ref, m, n):
-        """Swap the drawn interface variable's rank-1 contribution for the
-        pinned reference's in the last (reference-particle) statistics
-        column: T1's phi-outer-product term is identical, only the T0/T2
-        terms involve y (parity: ``Algorithm3.py:147-174``)."""
-        o1 = m * n
-        o2 = o1 + m * (m + 1) // 2
-        o3 = o2 + n * (n + 1) // 2
-        d0 = (phi_last[:, None] * (y_ref - y_drawn)[None, :]).reshape(-1)
-        d2 = mniw.sym_to_tri_rows(
-            (
-                jnp.outer(y_ref, y_ref) - jnp.outer(y_drawn, y_drawn)
-            ).reshape(-1),
-            n,
-        )
-        col = S_new[:, -1]
-        col = col.at[:o1].add(d0).at[o2:o3].add(d2)
-        return S_new.at[:, -1].set(col)
     if rank1 is None:
         # Opt-in for now: the O(p^2) math wins on paper, but the unrolled
         # XLA lowering runs on 1-sublane (N,) vectors and measures SLOWER
@@ -304,11 +286,15 @@ def build_csmc(
         ref_idx = resampling.categorical_from_weights(
             key_ref, jax.nn.softmax(log_weights + g_diff + h_x)
         )
+        # the ancestor-sampled last entry breaks sortedness, so the
+        # fused-gather kernel below gathers with the sorted systematic
+        # ancestors and the reference column is rebuilt exactly afterwards
+        # (its statistics column is a closed form of S[:, ref_idx] and the
+        # pinned reference datum); the emitted ancestry trace carries the
+        # patched indices
+        ancestors_sorted = ancestors
         ancestors = ancestors.at[-1].set(ref_idx)
 
-        # packed statistics gather: one 2-D lane-gather per GP (the
-        # ancestor-sampled last entry breaks sortedness)
-        Ss_g = kern.gather_packed(Ss, ancestors)
         state_g, iv_g, ll_aux_g = kern.packed_gather(
             (state, int_vars, ll_aux), ancestors
         )
@@ -317,21 +303,23 @@ def build_csmc(
         new_state = kern.propagate_all(key_state, state_g, inp_prev, iv_g)
         new_state = new_state.at[:, -1].set(ref_x)
 
-        # fused draw + rank-1 statistics update (ONE kernel per GP); the
-        # reference particle's pinned interface variable then replaces the
-        # kernel's draw in both the sample and its rank-1 contribution to
-        # the last statistics column
+        # fused resampling gather + draw + rank-1 statistics update (ONE
+        # kernel per GP, the gathered statistics never exist in HBM); the
+        # reference particle's statistics column and interface variable
+        # are then replaced wholesale: column -1 of the new statistics is
+        # S[:, ref_idx] + suff(ref_iv, phi(ref_x)) by definition
+        # (parity: /root/reference/src/Algorithm3.py:147-174)
         key, key_iv = jax.random.split(key)
-        Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
-            key_iv, Ss_g, 1.0, new_state, inp_cur
+        Ss_new, new_iv, new_basis, _ = kern.draw_update_gather_all_packed(
+            key_iv, Ss, ancestors_sorted, 1.0, new_state, inp_cur
         )
         pinned_iv = tuple(
             jnp.atleast_1d(ref_iv[i]).astype(dtype) for i in range(n_gp)
         )
         Ss_new = tuple(
-            _repin_last_column(
-                Ss_new[i], new_basis[i][:, -1], new_iv[i][:, -1],
-                pinned_iv[i], ms[i], ns[i],
+            Ss_new[i].at[:, -1].set(
+                jnp.take(Ss[i], ref_idx, axis=-1)
+                + mniw.pack_suff_col(pinned_iv[i], new_basis[i][:, -1])
             )
             for i in range(n_gp)
         )

@@ -832,7 +832,7 @@ def draw_update_packed_bl(
     if (
         n <= 2
         and phi.ndim == 2
-        and _pallas_ok(S, use_pallas, m=m)
+        and _pallas_ok(S, use_pallas, m=m, small_out=True)
     ):
         from bipk_tpu.ops import pallas_kernels
 
@@ -860,6 +860,87 @@ def draw_update_packed_bl(
             lambda s, d: s * lam + d, stats, suff
         )
     return pack_stats_bl(new), y, fp.logdet_T1, fp.logdet_Psi
+
+
+def draw_update_gather_packed_bl(
+    key: jax.Array,
+    S: jax.Array,
+    ancestors: jax.Array,
+    phi: jax.Array,
+    prior: MNIW | None = None,
+    lam: float = 1.0,
+    m: int = 0,
+    n: int = 0,
+    jitter: float | None = None,
+    use_pallas: bool | None = None,
+):
+    """:func:`draw_update_packed_bl` with the resampling gather fused in.
+
+    Semantically identical (same RNG stream, bitwise on-path) to
+    ``draw_update_packed_bl(key, S[:, ancestors], phi, ...)`` but on TPU
+    the ancestor columns are read inside the draw/update kernel straight
+    from the pre-resampling statistics — the gathered statistics never
+    exist in HBM, eliminating the separate gather pass + kernel re-read
+    (two of the five HBM passes over the dominant per-step payload).
+
+    ``ancestors (N,)`` must be non-decreasing (systematic-resampling
+    output, ``/root/reference/src/Filtering.py:28-35``); the rare blocks
+    whose ancestors span wider than the kernel's lane window (a long
+    zero-offspring run) divert the whole call to the exact gather+draw
+    fallback via ``lax.cond``.
+    """
+    if jitter is None:
+        jitter = _default_jitter(S.dtype)
+    if not (n <= 2 and phi.ndim == 2 and _pallas_ok(S, use_pallas, m=m)):
+        S_g = jnp.take(S, ancestors, axis=-1, indices_are_sorted=True)
+        return draw_update_packed_bl(
+            key, S_g, phi, prior=prior, lam=lam, m=m, n=n, jitter=jitter,
+            use_pallas=use_pallas,
+        )
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    n_in = S.shape[-1]
+    N = ancestors.shape[-1]
+    total = -(-N // 1024) * 1024
+    total_in = -(-n_in // 128) * 128
+    anc = ancestors.astype(jnp.int32)
+    anc_padded = (
+        jnp.pad(anc, (0, total - N), constant_values=n_in - 1)
+        if total != N else anc
+    )
+    w, fits = pk.window_starts(anc_padded, total_in)
+
+    prior_blocks = (
+        (prior.T0, prior.T1, prior.T2) if prior is not None else None
+    )
+    p3 = float(prior.T3) if prior is not None else 0.0
+    key_u, key_v = jax.random.split(key)
+    u = jax.random.uniform(key_u, (n, N), S.dtype)
+    v = jax.random.uniform(key_v, (n, N), S.dtype)
+
+    def fused(_):
+        return pk.draw_update_gather_packed_blocks(
+            S, anc, w, phi, u, v, float(jitter), float(lam),
+            prior_blocks, p3=p3, m=m, n=n,
+        )
+
+    def fallback(_):
+        S_g = jnp.take(S, anc, axis=-1, indices_are_sorted=True)
+        return pk.draw_update_packed_blocks(
+            S_g, phi, u, v, float(jitter), float(lam), prior_blocks,
+            p3=p3, m=m, n=n,
+        )
+
+    return jax.lax.cond(fits, fused, fallback, None)
+
+
+def pack_suff_col(y: jax.Array, phi: jax.Array) -> jax.Array:
+    """Packed-layout rank-1 sufficient statistics of ONE datum:
+    ``y (n,)``, ``phi (m,)`` -> ``(rows,)`` column (rows as in
+    :func:`packed_rows`)."""
+    return pack_stats_bl(
+        suff_stat_flat_bl(y[:, None], phi[:, None])
+    )[:, 0]
 
 
 def suff_stat_flat_bl(

@@ -495,6 +495,271 @@ def _draw_update_packed_kernel(
     ld_ref[1] = logdet_psi
 
 
+def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
+    """Resampling gather from a lane-window into a particle-tile scratch.
+
+    ``s_win_ref (rows, WIN)`` is the slice of the packed statistics whose
+    lanes cover every ancestor of this output block (window start ``ws``
+    in lane units, a 128-multiple); ``anc_ref (8, 128)`` holds the block's
+    (global) ancestor indices. Writes ``scratch[:, tau, :] = S[:, anc]``
+    for each of the 8 output lane-tiles ``tau``.
+
+    Systematic-resampling ancestors are NON-DECREASING, so the ancestors
+    of one 128-particle output tile span a handful of 128-lane source
+    tiles: for each output tile this slices candidate source tiles out of
+    the window (dynamic lane offset) and lane-gathers them over all
+    ``rows`` at once (``take_along_axis`` within 128 lanes — the only
+    dynamic-gather Mosaic supports), selecting per lane by the ancestor's
+    source-tile id. Cost: ``rounds`` = (source tiles spanned by the output
+    tile, typically 1-3) tall (rows, 128) gathers per output tile instead
+    of an HBM round-trip through XLA's gather (measured 0.51 ms/step of
+    1.45 at N = 32768 on v5e).
+    """
+    for tau in range(8):
+        a_lo = anc_ref[tau, 0]
+        a_hi = anc_ref[tau, 127]
+        t_lo = jax.lax.shift_right_logical(a_lo, jnp.int32(7))
+        t_hi = jax.lax.shift_right_logical(a_hi, jnp.int32(7))
+        # ancestor lane indices relative to the window start
+        anc_row = anc_ref[tau, :].reshape(1, 128) - ws
+        rel = jnp.broadcast_to(anc_row, (rows, 128))
+
+        def round_body(k, acc, _t_lo=t_lo, _rel=rel):
+            # window-relative lane offset of source tile t_lo + k, written
+            # as an explicit x128 product so Mosaic can prove alignment
+            off = pl.multiple_of(
+                ((_t_lo - ws // 128) + k) * 128, 128
+            )
+            src = s_win_ref[:, pl.ds(off, 128)]
+            idx = _rel - off  # lane index within the source tile
+            take = jnp.take_along_axis(
+                src, jnp.clip(idx, 0, 127), axis=1
+            )
+            return jnp.where((idx >= 0) & (idx < 128), take, acc)
+
+        out0 = jnp.zeros((rows, 128), s_win_ref.dtype)
+        out = jax.lax.fori_loop(0, t_hi - t_lo + 1, round_body, out0)
+        scratch_ref[:, tau, :] = out
+
+
+def _draw_update_gather_kernel(
+    w_ref, s_win_ref, anc_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref,
+    v_ref, snew_ref, y_ref, ld_ref, scratch_ref,
+    *, m, n, jitter, lam, p3, has_prior, rows,
+):
+    """:func:`_draw_update_packed_kernel` with the resampling gather fused
+    in: reads the ANCESTOR's packed-statistics column for every output
+    particle straight out of a lane-window of the pre-resampling
+    statistics, so the gathered statistics never round-trip through HBM
+    (the gather + separate kernel read were two of the five HBM passes per
+    filter step). ``phi, u, v`` are already in output (post-resampling)
+    order. Resampling semantics are those of
+    ``/root/reference/src/Filtering.py:28-35`` (systematic, sorted
+    ancestors); the wrapper falls back to gather+draw when a block's
+    ancestors span more than the window.
+    """
+    ws = w_ref[pl.program_id(0)] * 128
+    _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows)
+
+    p0 = p0_ref if has_prior else None
+    p1 = p1_ref if has_prior else None
+    p2 = p2_ref if has_prior else None
+    raw_t0, raw_t1, raw_t2, raw_t3 = _packed_readers(scratch_ref, m, n)
+    _, _, _, psi, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+        raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
+        m=m, n=n, jitter=jitter, lam=lam,
+    )
+
+    df = raw_t3() * lam + p3
+    df_pred = df + (1.0 - n)
+
+    two_pi = 6.283185307179586
+    t = []
+    for c in range(n):
+        u = 1.0 - u_ref[c]
+        r = jnp.sqrt(
+            df_pred * (jnp.exp(-(2.0 / df_pred) * jnp.log(u)) - 1.0)
+        )
+        t.append(r * jnp.cos(two_pi * v_ref[c]))
+
+    inv_df = 1.0 / df_pred
+    if n == 1:
+        scaled = [jnp.sqrt(psi[0][0] * inv_df) * t[0]]
+    else:
+        r00 = psi[0][0] * inv_df
+        off = 0.5 * (psi[0][1] + psi[1][0]) * inv_df
+        r11 = psi[1][1] * inv_df
+        l00 = jnp.sqrt(r00)
+        l10 = off / l00
+        l11 = jnp.sqrt(r11 - l10 * l10)
+        scaled = [l00 * t[0], l10 * t[0] + l11 * t[1]]
+
+    sqrt_col = jnp.sqrt(col)
+    y = [mean[c] + scaled[c] * sqrt_col for c in range(n)]
+
+    o1 = m * n
+    o2 = o1 + m * (m + 1) // 2
+    o3 = o2 + n * (n + 1) // 2
+    phi = [phi_ref[i] for i in range(m)]
+    for i in range(m):
+        for c in range(n):
+            snew_ref[i * n + c] = raw_t0(i, c) * lam + phi[i] * y[c]
+    for i in range(m):
+        for j in range(i + 1):
+            snew_ref[o1 + i * (i + 1) // 2 + j] = (
+                raw_t1(i, j) * lam + phi[i] * phi[j]
+            )
+    for a in range(n):
+        for b in range(a + 1):
+            snew_ref[o2 + a * (a + 1) // 2 + b] = (
+                raw_t2(a, b) * lam + y[a] * y[b]
+            )
+    snew_ref[o3] = raw_t3() * lam + 1.0
+    for c in range(n):
+        y_ref[c] = y[c]
+    ld_ref[0] = 2.0 * half_ld_t1
+    ld_ref[1] = logdet_psi
+
+
+# window width (in 128-lane tiles) of the fused-gather draw/update kernel:
+# ancestors of a 1024-particle output block typically span ~1024-1500
+# source lanes (non-decreasing systematic ancestors advance ~1 input per
+# output at high ESS); 16 tiles = 2048 lanes minus <=127 alignment slack
+# covers that with margin. Blocks that span wider (a long run of
+# zero-offspring particles inside one block) take the exact XLA-gather
+# fallback via lax.cond in mniw.draw_update_packed_bl.
+_GATHER_WINDOW_TILES = 16
+
+
+def window_starts(ancestors: jax.Array, n_in_padded: int):
+    """Per-output-block window starts (in 128-lane tiles) + whether every
+    block's ancestors fit its window. ``ancestors`` is the padded
+    non-decreasing ancestor vector (one entry per padded OUTPUT particle,
+    values indexing the ``n_in_padded``-column source)."""
+    nb = ancestors.shape[0] // _BLOCK
+    wt = min(_GATHER_WINDOW_TILES, n_in_padded // _LANES)
+    a = ancestors.reshape(nb, _BLOCK)
+    first = jax.lax.shift_right_logical(a[:, 0], jnp.int32(7))
+    last = jax.lax.shift_right_logical(a[:, -1], jnp.int32(7))
+    w = jnp.clip(first, 0, n_in_padded // _LANES - wt)
+    fits = jnp.all(last - w < wt)
+    return w.astype(jnp.int32), fits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("jitter", "lam", "p3", "m", "n")
+)
+def draw_update_gather_packed_blocks(
+    S, ancestors, w, phi, u, v, jitter: float, lam: float = 1.0,
+    prior=None, p3: float = 0.0, m: int = 0, n: int = 0,
+):
+    """Fused resampling gather + predictive draw + rank-1 statistics
+    update: semantically ``draw_update_packed_blocks(S[:, ancestors], phi,
+    u, v, ...)`` with the gather performed inside the kernel (the gathered
+    statistics never exist in HBM).
+
+    ``S (rows, N_in)`` packed PRE-resampling statistics;
+    ``ancestors (N_out,)`` int32 non-decreasing indices into the source
+    columns (``N_out`` may differ from ``N_in`` — microbatched steps
+    gather chunk-sized outputs from the full population); ``w`` the
+    per-output-block window starts from :func:`window_starts` (callers
+    must verify ``fits`` and fall back otherwise); ``phi, u, v`` in
+    output order.
+    """
+    rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
+    assert S.shape[0] == rows, (S.shape, rows)
+    n_in = S.shape[-1]
+    N = ancestors.shape[-1]
+    assert supported(m), f"m={m} exceeds the fused draw-update budget"
+    total = -(-N // _BLOCK) * _BLOCK
+    grid = (total // _BLOCK,)
+    total_in = -(-n_in // _LANES) * _LANES
+    win = min(_GATHER_WINDOW_TILES, total_in // _LANES) * _LANES
+
+    has_prior = prior is not None
+    if has_prior:
+        p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
+    else:
+        zero = jnp.zeros((1, 1), S.dtype)
+        p0 = p1 = p2 = zero
+
+    # pad ancestors with the last valid index so padded outputs gather a
+    # real column (their draws are discarded by _unblock)
+    anc = ancestors.astype(jnp.int32)
+    if total != N:
+        anc = jnp.pad(anc, (0, total - N), constant_values=n_in - 1)
+    anc_blocked = anc.reshape(total // _LANES, _LANES)
+
+    S_pad = _pad_last(S, total_in)
+    if win == total_in:
+        # whole (padded) array fits one window: plain full-array spec (no
+        # Element indexing; also the interpreter-mode path for CPU CI)
+        s_spec = pl.BlockSpec(
+            (rows, total_in), lambda i, w_ref: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        from jax._src.pallas import core as pallas_core
+
+        s_spec = pl.BlockSpec(
+            (pallas_core.Element(rows), pallas_core.Element(win)),
+            lambda i, w_ref: (0, pl.multiple_of(w_ref[i] * _LANES, _LANES)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def vspec(lead):
+        zeros = (0,) * len(lead)
+        return pl.BlockSpec(
+            (*lead, _ROWS, _LANES),
+            lambda i, w_ref, _z=zeros: (*_z, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, w_ref, _z=(0,) * len(shape): _z,
+            memory_space=pltpu.SMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            s_spec,
+            vspec(()),
+            sspec(p0.shape), sspec(p1.shape), sspec(p2.shape),
+            vspec((m,)), vspec((n,)), vspec((n,)),
+        ],
+        out_specs=[vspec((rows,)), vspec((n,)), vspec((2,))],
+        scratch_shapes=[pltpu.VMEM((rows, _ROWS, _LANES), S.dtype)],
+    )
+
+    snew, y, ld = _pallas_call(
+        functools.partial(
+            _draw_update_gather_kernel, m=m, n=n, jitter=jitter, lam=lam,
+            p3=p3, has_prior=has_prior, rows=rows,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, total // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct((n, total // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct((2, total // _LANES, _LANES), S.dtype),
+        ],
+    )(
+        w,
+        S_pad,
+        anc_blocked,
+        p0, p1, p2,
+        _blockify(phi, total),
+        _blockify(u, total),
+        _blockify(v, total),
+    )
+    snew = _unblock(snew, N)
+    y = _unblock(y, N)
+    ld = _unblock(ld, N)
+    return snew, y, ld[0], ld[1]
+
+
 def _log_base_measure_kernel(
     t0_ref, t1_ref, t2_ref, out_ref, *, m, n, jitter, flat=False
 ):
@@ -832,14 +1097,26 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
     ``S (rows, N)`` packed statistics, ``phi (m, N)``, ``u, v (n, N)``
     uniforms -> ``(S_new (rows, N), y (n, N), logdet_T1 (N,),
     logdet_Psi (N,))``. ``p3`` is the prior's scalar T3 (degrees of
-    freedom offset). Requires the tiled layout (``supported(m)``).
+    freedom offset). ``supported(m)`` uses the full-tile layout; larger
+    m up to ``supported_small_out(m)`` (toy m=40, SMO m=41) uses the 1-D
+    ``(512,)`` block layout — one sublane of VPU width, but the fused
+    kernel still beats the unpack->unrolled-XLA fallback by ~10x.
     """
     rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     assert S.shape[0] == rows, (S.shape, rows)
     N = S.shape[-1]
-    assert supported(m), f"m={m} exceeds the fused draw-update budget"
-    total = -(-N // _BLOCK) * _BLOCK
-    grid = (total // _BLOCK,)
+    assert supported_small_out(m), (
+        f"m={m} exceeds the fused draw-update budget"
+    )
+    tiled = supported(m)
+    block = _BLOCK if tiled else _BLOCK_1D
+    total = -(-N // block) * block
+    grid = (total // block,)
+
+    def shp(*lead):
+        if tiled:
+            return (*lead, total // _LANES, _LANES)
+        return (*lead, total)
 
     has_prior = prior is not None
     if has_prior:
@@ -858,26 +1135,28 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
         ),
         grid=grid,
         in_specs=[
-            _spec((rows,)),
+            _spec((rows,), tiled),
             *prior_specs,
-            _spec((m,)), _spec((n,)), _spec((n,)),
+            _spec((m,), tiled), _spec((n,), tiled), _spec((n,), tiled),
         ],
-        out_specs=[_spec((rows,)), _spec((n,)), _spec((2,))],
+        out_specs=[
+            _spec((rows,), tiled), _spec((n,), tiled), _spec((2,), tiled),
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows, total // _LANES, _LANES), S.dtype),
-            jax.ShapeDtypeStruct((n, total // _LANES, _LANES), S.dtype),
-            jax.ShapeDtypeStruct((2, total // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct(shp(rows), S.dtype),
+            jax.ShapeDtypeStruct(shp(n), S.dtype),
+            jax.ShapeDtypeStruct(shp(2), S.dtype),
         ],
     )(
-        _blockify(S, total),
+        _blockify(S, total, tiled),
         p0, p1, p2,
-        _blockify(phi, total),
-        _blockify(u, total),
-        _blockify(v, total),
+        _blockify(phi, total, tiled),
+        _blockify(u, total, tiled),
+        _blockify(v, total, tiled),
     )
-    snew = _unblock(snew, N)
-    y = _unblock(y, N)
-    ld = _unblock(ld, N)
+    snew = _unblock(snew, N, tiled)
+    y = _unblock(y, N, tiled)
+    ld = _unblock(ld, N, tiled)
     return snew, y, ld[0], ld[1]
 
 

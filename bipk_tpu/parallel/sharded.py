@@ -207,24 +207,36 @@ def build_sharded_apf(
                 offset = jnp.zeros((), dtype=ll_aux.dtype)
             else:
                 # local systematic resampling on globally normalized mass;
-                # the packed statistics gather is one 2-D lane-gather per
-                # GP (sorted systematic ancestors), factors recomputed
+                # small payloads gather through XLA, the packed statistics
+                # gather is fused into the draw/update kernel below
                 shard_mass = jnp.sum(w_global)
                 w_local = w_global / jnp.maximum(shard_mass, 1e-30)
                 ancestors = resampling.systematic(
                     jax.random.fold_in(key_res, shard), w_local
                 )
-                Ss_r = kern.gather_packed(Ss, ancestors, sorted_indices=True)
                 state_r, iv_r, ll_aux_r = kern.packed_gather(
                     (state, int_vars, ll_aux), ancestors
                 )
                 offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
 
             new_state = kern.propagate_all(key_state, state_r, inp_prev, iv_r)
-            # fused draw + rank-1 statistics update (ONE kernel per GP)
-            Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
-                key_iv, Ss_r, forgetting_factor, new_state, inp_cur
-            )
+            if resampling_scheme == "exact":
+                # fused draw + rank-1 statistics update (ONE kernel per
+                # GP) on the ring-redistributed statistics
+                Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
+                    key_iv, Ss_r, forgetting_factor, new_state, inp_cur
+                )
+            else:
+                # fused resampling gather + draw + rank-1 update: each
+                # output particle's ancestor column is read inside the
+                # kernel (sorted shard-local systematic ancestors), so the
+                # gathered statistics never exist in HBM
+                Ss_new, new_iv, new_basis, _ = (
+                    kern.draw_update_gather_all_packed(
+                        key_iv, Ss, ancestors, forgetting_factor,
+                        new_state, inp_cur,
+                    )
+                )
 
             ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
             new_log_weights = ll_new - ll_aux_r + offset
@@ -299,7 +311,6 @@ def build_sharded_apf(
                 idx_c = jax.lax.dynamic_slice_in_dim(
                     ancestors, c * chunk_size, chunk_size, axis=0
                 )
-                Ss_g = kern.gather_packed(Ss, idx_c, sorted_indices=True)
                 state_g, iv_g, ll_aux_g = kern.gather(
                     (state, int_vars, ll_aux), idx_c
                 )
@@ -308,8 +319,14 @@ def build_sharded_apf(
                 new_state_c = kern.propagate_all(
                     kc_state, state_g, inp_prev, iv_g
                 )
-                new_Ss_c, new_iv_c, _, _ = kern.draw_update_all_packed(
-                    kc_iv, Ss_g, forgetting_factor, new_state_c, inp_cur
+                # fused gather+draw/update: the chunk's statistics columns
+                # are read from the FULL population inside the kernel
+                # (N_out = chunk < N_in = n_loc)
+                new_Ss_c, new_iv_c, _, _ = (
+                    kern.draw_update_gather_all_packed(
+                        kc_iv, Ss, idx_c, forgetting_factor,
+                        new_state_c, inp_cur,
+                    )
                 )
                 ll_new_c = kern.log_lik_all(
                     obs, new_state_c, inp_cur, new_iv_c

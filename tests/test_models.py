@@ -146,3 +146,53 @@ def test_emps_validation_rmse_perfect_model():
     # model-class optimum: the Gibbs sampler's full-scale result (6.35)
     # matches it, i.e. inference reaches the representable optimum.
     assert 1.0 < rmse < 12.0, rmse
+
+
+def test_emps_real_measurement_ingest(tmp_path):
+    """Drive the real-data ``loadmat`` branch with a fixture `.mat` in the
+    documented ``DATA_EMPS.mat`` format: keys ``t``/``qm`` (column
+    vectors), ``vir`` (voltage input reference, column vector), ``gtau``
+    (scalar drive gain) — the shapes/keys the reference consumes at
+    ``/root/reference/src/EMPS.py:49-64,79``. Checks the branch is taken
+    (not the surrogate), the torque is ``vir * gtau``, and the
+    Butterworth + central-difference + x10-decimation preprocessing
+    matches the surrogate path's on the same raw signal."""
+    import scipy.io
+
+    t, q, torque = emps.synthesize_measurements(seed=3, n_raw=4000)
+    gtau = 35.15
+    scipy.io.savemat(
+        tmp_path / "DATA_EMPS.mat",
+        {
+            # real files store column vectors + a scalar gain
+            "t": t[:, None],
+            "qm": q[:, None],
+            "vir": (torque / gtau)[:, None],
+            "gtau": np.array([[gtau]]),
+        },
+    )
+    data = emps.load_dataset(data_dir=str(tmp_path), kind="train")
+    assert not data.synthetic
+    expect_time, expect_states, expect_obs, expect_inputs = (
+        emps._preprocess(q, t, torque)
+    )
+    np.testing.assert_allclose(data.time, expect_time, rtol=1e-12)
+    np.testing.assert_allclose(data.states, expect_states, rtol=1e-9)
+    np.testing.assert_allclose(data.observations, expect_obs, rtol=1e-12)
+    np.testing.assert_allclose(data.inputs, expect_inputs, rtol=1e-9)
+    assert data.observations.shape == (400, 1)
+    np.testing.assert_allclose(data.dt, 0.01, rtol=1e-9)
+
+    # the pulses (validation) file takes the same branch
+    scipy.io.savemat(
+        tmp_path / "DATA_EMPS_PULSES.mat",
+        {
+            "t": t[:, None],
+            "qm": q[:, None],
+            "vir": (torque / gtau)[:, None],
+            "gtau": np.array([[gtau]]),
+        },
+    )
+    val = emps.load_dataset(data_dir=str(tmp_path), kind="pulses")
+    assert not val.synthetic
+    np.testing.assert_allclose(val.inputs, expect_inputs, rtol=1e-9)

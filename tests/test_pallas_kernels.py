@@ -149,7 +149,7 @@ def test_factorize_project_packed_matches_xla(m, n):
     np.testing.assert_allclose(fp_p.df, fp_x.df, rtol=1e-6)
 
 
-@pytest.mark.parametrize("m,n", [(20, 1), (9, 1), (6, 2)])
+@pytest.mark.parametrize("m,n", [(20, 1), (9, 1), (6, 2), (41, 1)])
 def test_draw_update_packed_matches_xla(m, n):
     """Same RNG stream on both paths; the draw may differ by f32
     cancellation noise (mean + scaled with opposite signs), so the value
@@ -168,3 +168,92 @@ def test_draw_update_packed_matches_xla(m, n):
     np.testing.assert_allclose(Sp, Sx, rtol=2e-3, atol=2e-2)
     np.testing.assert_allclose(l1p, l1x, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(lpp, lpx, rtol=2e-4, atol=2e-4)
+
+
+def _sorted_ancestors(n_in, n_out, seed, concentration=0.5):
+    """Realistic systematic-resampling ancestors: non-decreasing, uneven
+    offspring counts (Dirichlet weights)."""
+    from bipk_tpu.ops import resampling
+
+    w = jax.random.dirichlet(
+        jax.random.key(seed), jnp.full((n_in,), concentration, jnp.float32)
+    )
+    anc = resampling.systematic(jax.random.key(seed + 1), w)
+    if n_out != n_in:
+        # microbatch slice: a contiguous chunk of the sorted ancestors
+        anc = anc[:n_out]
+    return anc.astype(jnp.int32)
+
+
+@pytest.mark.parametrize("m,n", [(20, 1), (9, 1), (6, 2)])
+def test_draw_update_gather_matches_gather_then_draw(m, n):
+    """Fused-gather kernel == XLA gather followed by the (already
+    validated) fused draw/update kernel, same key — the gather itself is
+    exact so the tolerance is zero against the same-path reference."""
+    S, prior = _accumulated_packed(m, n)
+    anc = _sorted_ancestors(S.shape[-1], S.shape[-1], seed=7)
+    phi = jax.random.normal(jax.random.key(3), (m, anc.shape[0]), jnp.float32)
+    key = jax.random.key(11)
+    args = dict(prior=prior, lam=0.999, m=m, n=n)
+
+    Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
+        key, S, anc, phi, use_pallas=True, **args
+    )
+    Sr, yr, l1r, lpr = mniw.draw_update_packed_bl(
+        key, jnp.take(S, anc, axis=-1), phi, use_pallas=True, **args
+    )
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
+    np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
+    np.testing.assert_array_equal(np.asarray(l1f), np.asarray(l1r))
+    np.testing.assert_array_equal(np.asarray(lpf), np.asarray(lpr))
+
+
+def test_draw_update_gather_microbatch_out_lt_in():
+    """N_out < N_in (microbatched chunk gathering from the full
+    population) goes through the same kernel."""
+    m, n = 9, 1
+    S, prior = _accumulated_packed(m, n)
+    anc = _sorted_ancestors(S.shape[-1], 1024, seed=13)
+    phi = jax.random.normal(jax.random.key(5), (m, 1024), jnp.float32)
+    key = jax.random.key(17)
+    args = dict(prior=prior, lam=1.0, m=m, n=n)
+    Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
+        key, S, anc, phi, use_pallas=True, **args
+    )
+    Sr, yr, l1r, lpr = mniw.draw_update_packed_bl(
+        key, jnp.take(S, anc, axis=-1), phi, use_pallas=True, **args
+    )
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
+    np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
+
+
+def test_draw_update_gather_window_overflow_falls_back():
+    """Ancestors whose span inside one output block exceeds the lane
+    window (degenerate weights: one particle near 0 and one near the end
+    get all the offspring) divert to the exact fallback via lax.cond and
+    still produce the gathered reference result."""
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    m, n = 9, 1
+    S, prior = _accumulated_packed(m, n, N=4096)
+    n_in = S.shape[-1]
+    # the jump from 0 to n_in-1 lands INSIDE output block 1, so that
+    # block's ancestors span the whole source — far beyond the window
+    half = 1024 + 512
+    anc = jnp.concatenate(
+        [jnp.zeros((half,), jnp.int32),
+         jnp.full((n_in - half,), n_in - 1, jnp.int32)]
+    )
+    w, fits = pk.window_starts(anc, n_in)
+    assert not bool(fits)
+    phi = jax.random.normal(jax.random.key(5), (m, n_in), jnp.float32)
+    key = jax.random.key(19)
+    args = dict(prior=prior, lam=0.999, m=m, n=n)
+    Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
+        key, S, anc, phi, use_pallas=True, **args
+    )
+    Sr, yr, l1r, lpr = mniw.draw_update_packed_bl(
+        key, jnp.take(S, anc, axis=-1), phi, use_pallas=True, **args
+    )
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
+    np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
