@@ -52,6 +52,7 @@ def build_sharded_csmc(
     n_particles: int,
     mesh: Mesh,
     dtype=jnp.float32,
+    chunk_size: int | None = None,
 ) -> Callable:
     """Build the particle-sharded cSMC-with-ancestor-sampling sweep.
 
@@ -59,6 +60,14 @@ def build_sharded_csmc(
     ``bipk_tpu.algorithms.csmc.build_csmc``:
     ``run(key, observations, inputs, init_state_mean, init_state_cov,
     ref_state, ref_int_vars, ref_summed_stats)``.
+
+    ``chunk_size`` microbatches the per-shard particle axis the way
+    :func:`bipk_tpu.parallel.sharded.build_sharded_apf` does: the
+    auxiliary/ancestor-weight pass and the propagate+draw/update pass run
+    chunk by chunk (per-particle temporaries capped at one chunk), while
+    the global collectives — exact systematic resampling, the distributed
+    ancestor categorical, and the ring redistribute — still see the full
+    shard. Defaults on automatically above 256k particles per shard.
     """
     kern = APFKernel(ssm, gps, dtype)
     n_gp = kern.n_gp
@@ -69,6 +78,15 @@ def build_sharded_csmc(
             f"n_particles={n_particles} not divisible by mesh size {n_dev}"
         )
     n_loc = n_particles // n_dev
+    if chunk_size is None and n_loc > 262144:
+        chunk_size = 32768
+    if chunk_size is not None and chunk_size >= n_loc:
+        chunk_size = None
+    if chunk_size is not None and n_loc % chunk_size:
+        raise ValueError(
+            f"per-shard particle count {n_loc} not divisible by "
+            f"chunk_size {chunk_size}"
+        )
 
     deterministic = ssm.is_deterministic
     process_chol = kern.process_chol
@@ -180,6 +198,30 @@ def build_sharded_csmc(
             for i in range(n_gp)
         )
 
+        def _g_diff(Ss_c, fps_c, ref_stats, zeros):
+            """``g_t - g_T`` marginal-likelihood correction from MNIW log
+            base measures (parity: Algorithm3.py:92-106); the AS weights
+            use the time-(t-1) importance weights, NOT the auxiliary
+            weights (deliberate fix, verified vs Kalman/RTS — see
+            bipk_tpu.algorithms.csmc and tests/test_invariance.py)."""
+            g = zeros
+            for i in range(n_gp):
+                prior_eff = mniw.MNIW(
+                    kern.priors[i].T0 + ref_stats[i].T0,
+                    kern.priors[i].T1 + ref_stats[i].T1,
+                    kern.priors[i].T2 + ref_stats[i].T2,
+                    kern.priors[i].T3 + ref_stats[i].T3,
+                )
+                with_future = mniw.log_base_measure_packed_bl(
+                    Ss_c[i], prior_eff, ms[i], ns[i],
+                    use_pallas=kern.use_pallas,
+                )
+                without_future = mniw.log_base_measure_from_projected_bl(
+                    fps_c[i], ms[i]
+                )
+                g = g + without_future - with_future
+            return g
+
         def step(carry, xs):
             log_weights, state, int_vars, Ss, ref_stats = carry
             obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
@@ -201,27 +243,7 @@ def build_sharded_csmc(
             )
 
             # --- ancestor sampling for the reference particle ---
-            # g_t - g_T marginal-likelihood correction from MNIW log base
-            # measures (parity: Algorithm3.py:92-106); the AS weights use
-            # the time-(t-1) importance weights, NOT the auxiliary weights
-            # (deliberate fix, verified vs Kalman/RTS — see
-            # bipk_tpu.algorithms.csmc and tests/test_invariance.py)
-            g_diff = jnp.zeros_like(lw_aux)
-            for i in range(n_gp):
-                prior_eff = mniw.MNIW(
-                    kern.priors[i].T0 + ref_stats[i].T0,
-                    kern.priors[i].T1 + ref_stats[i].T1,
-                    kern.priors[i].T2 + ref_stats[i].T2,
-                    kern.priors[i].T3 + ref_stats[i].T3,
-                )
-                with_future = mniw.log_base_measure_packed_bl(
-                    Ss[i], prior_eff, ms[i], ns[i],
-                    use_pallas=kern.use_pallas,
-                )
-                without_future = mniw.log_base_measure_from_projected_bl(
-                    fps[i], ms[i]
-                )
-                g_diff = g_diff + without_future - with_future
+            g_diff = _g_diff(Ss, fps, ref_stats, jnp.zeros_like(lw_aux))
             h_x = transition_logpdf_to_ref(aux_state, ref_x, lw_aux)
             w_as = _global_softmax(log_weights + g_diff + h_x)
             ref_idx = gr.global_categorical(
@@ -280,6 +302,150 @@ def build_sharded_csmc(
                 new_log_weights, new_state, new_iv, Ss_new, new_ref_stats
             ), emits
 
+        def step_chunked(carry, xs):
+            """Microbatched step: identical semantics to ``step`` with
+            per-particle temporaries capped at one chunk (a different but
+            equally valid RNG stream for the shard-local draws). The
+            collectives — exact resampling, distributed AS categorical,
+            ring redistribute — still act on the full shard."""
+            log_weights, state, int_vars, Ss, ref_stats = carry
+            obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
+            key_res, key_ref, key_draws = jax.random.split(key, 3)
+            key_base = jax.random.fold_in(key_draws, shard)
+            n_chunks = n_loc // chunk_size
+
+            def sl(tree, c):
+                return jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, c * chunk_size, chunk_size, axis=-1
+                    ),
+                    tree,
+                )
+
+            def st_chunk(buf, val, c):
+                return jax.tree_util.tree_map(
+                    lambda b, v: jax.lax.dynamic_update_slice_in_dim(
+                        b, v, c * chunk_size, axis=-1
+                    ),
+                    buf,
+                    val,
+                )
+
+            # phase 1: auxiliary log-likelihoods + AS weight pieces
+            # (g_t - g_T and h_x are per-particle scalars; the factors and
+            # auxiliary states never exist beyond one chunk)
+            zeros_c = jnp.zeros((chunk_size,), dtype)
+
+            def p1_body(c, bufs):
+                ll_buf, g_buf, h_buf = bufs
+                state_c, iv_c, Ss_c = sl((state, int_vars, Ss), c)
+                aux_state_c, _, _, ll_aux_c, fps_c = (
+                    kern.auxiliary_fused_packed(
+                        Ss_c, 1.0, state_c, iv_c, inp_prev, inp_cur, obs,
+                        zeros_c,
+                    )
+                )
+                g_c = _g_diff(Ss_c, fps_c, ref_stats, zeros_c)
+                h_c = transition_logpdf_to_ref(aux_state_c, ref_x, zeros_c)
+                return (
+                    st_chunk(ll_buf, ll_aux_c, c),
+                    st_chunk(g_buf, g_c, c),
+                    st_chunk(h_buf, h_c, c),
+                )
+
+            zeros_loc = jnp.zeros((n_loc,), dtype)
+            ll_aux, g_diff, h_x = jax.lax.fori_loop(
+                0, n_chunks, p1_body, (zeros_loc, zeros_loc, zeros_loc)
+            )
+            lw_aux = ll_aux + log_weights
+
+            w_global = _global_softmax(lw_aux)
+            anc = gr.global_systematic_slice(
+                key_res, w_global, PARTICLE_AXIS, n_dev
+            )
+            w_as = _global_softmax(log_weights + g_diff + h_x)
+            ref_idx = gr.global_categorical(
+                key_ref, w_as, PARTICLE_AXIS, n_dev
+            )
+            anc = jnp.where(is_last, anc.at[-1].set(ref_idx), anc)
+
+            state_r, iv_r, Ss_r, ll_aux_r = gr.ring_redistribute(
+                (state, int_vars, Ss, ll_aux), anc, PARTICLE_AXIS, n_dev
+            )
+
+            # phase 2: propagate + fused draw/update + pinning, chunk by
+            # chunk; outputs stream into full-size buffers (the new carry)
+            pinned_iv = tuple(
+                jnp.atleast_1d(ref_iv[i]).astype(dtype) for i in range(n_gp)
+            )
+            zeros_like_full = jax.tree_util.tree_map(
+                jnp.zeros_like, (state, int_vars, Ss)
+            )
+
+            def p2_body(c, bufs):
+                new_state_b, new_iv_b, new_Ss_b, lw_b = bufs
+                # the pinned slot is the LAST lane of the last chunk of
+                # the last shard (global index N-1)
+                pin_here = jnp.logical_and(is_last, c == n_chunks - 1)
+                state_c, iv_c, Ss_c, ll_aux_c = sl(
+                    (state_r, iv_r, Ss_r, ll_aux_r), c
+                )
+                kc_state, kc_iv = jax.random.split(
+                    jax.random.fold_in(key_base, c)
+                )
+                new_state_c = kern.propagate_all(
+                    kc_state, state_c, inp_prev, iv_c
+                )
+                new_state_c = _pin_lane(new_state_c, ref_x, pin_here)
+                Ss_new_c, new_iv_c, new_basis_c, _ = (
+                    kern.draw_update_all_packed(
+                        kc_iv, Ss_c, 1.0, new_state_c, inp_cur
+                    )
+                )
+                Ss_new_c = tuple(
+                    _repin_last_column(
+                        Ss_new_c[i], new_basis_c[i][:, -1],
+                        new_iv_c[i][:, -1], pinned_iv[i], ms[i], ns[i],
+                        pin_here,
+                    )
+                    for i in range(n_gp)
+                )
+                new_iv_c = tuple(
+                    _pin_lane(new_iv_c[i], pinned_iv[i], pin_here)
+                    for i in range(n_gp)
+                )
+                ll_new_c = kern.log_lik_all(
+                    obs, new_state_c, inp_cur, new_iv_c
+                )
+                lw_c = ll_new_c - ll_aux_c
+                return (
+                    st_chunk(new_state_b, new_state_c, c),
+                    st_chunk(new_iv_b, new_iv_c, c),
+                    st_chunk(new_Ss_b, Ss_new_c, c),
+                    st_chunk(lw_b, lw_c, c),
+                )
+
+            new_state, new_iv, Ss_new, new_log_weights = jax.lax.fori_loop(
+                0, n_chunks, p2_body, (*zeros_like_full, zeros_loc)
+            )
+
+            ref_T = ref_contribution(ref_x, ref_iv, inp_cur)
+            new_ref_stats = tuple(
+                jax.tree_util.tree_map(
+                    lambda s, t: s - t, ref_stats[i], ref_T[i]
+                )
+                for i in range(n_gp)
+            )
+
+            w_new = _global_softmax(new_log_weights)
+            ess = 1.0 / jax.lax.psum(
+                jnp.sum(w_new * w_new), PARTICLE_AXIS
+            )
+            emits = (new_state, tuple(new_iv), anc, ess)
+            return (
+                new_log_weights, new_state, new_iv, Ss_new, new_ref_stats
+            ), emits
+
         n_steps = observations.shape[0]
         keys = jax.random.split(key, n_steps)
         xs = (
@@ -295,8 +461,9 @@ def build_sharded_csmc(
             tuple(mniw.pack_stats_bl(st) for st in stats0),
             ref_stats0,
         )
+        step_fn = step if chunk_size is None else step_chunked
         carry, (state_tr, iv_tr, ancestors, ess) = jax.lax.scan(
-            step, carry0, xs
+            step_fn, carry0, xs
         )
         final_log_w = carry[0]
         return state0, iv0, state_tr, iv_tr, ancestors, ess, final_log_w
