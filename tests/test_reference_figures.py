@@ -6,10 +6,11 @@ scripts (``/root/reference/{SingleMassOscillator,VehicleSimulation,EMPS}_
 Figures.py``) against ``.mat`` files produced by this framework's entry
 scripts, asserting every expected PDF is rendered.
 
-The SMO test always runs (tiny config). The vehicle/EMPS tests cover the
-same contract machinery at a few extra minutes each on the CI host; gate
-them with ``BIPK_REF_FIGURE_TESTS=1`` (they were executed and passed when
-this file was committed — see PARITY.md).
+The SMO/vehicle/EMPS tests always run (tiny configs, a few minutes each on
+a CPU-only host). The composite ``Publication_Figures.py`` case needs
+full-scale artifacts in ``plots/`` and skips with a clear reason when they
+are absent. ``BIPK_REF_FIGURE_TESTS=0`` skips the long ones on severely
+time-boxed hosts.
 """
 
 import os
@@ -23,8 +24,8 @@ REF = "/root/reference"
 DRIVER = os.path.join(REPO, "tests", "_ref_fig_driver.py")
 
 run_gated = pytest.mark.skipif(
-    os.environ.get("BIPK_REF_FIGURE_TESTS") != "1",
-    reason="multi-minute reference-figure run; set BIPK_REF_FIGURE_TESTS=1",
+    os.environ.get("BIPK_REF_FIGURE_TESTS", "1") == "0",
+    reason="BIPK_REF_FIGURE_TESTS=0: multi-minute reference-figure run",
 )
 
 
