@@ -32,6 +32,7 @@ final particle population stays sharded for chaining.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
@@ -75,6 +76,7 @@ def build_sharded_apf(
     dtype=jnp.float32,
     resampling_scheme: str = "local",
     chunk_size: int | None = None,
+    window: int | None = None,
 ):
     """Build the particle-sharded online APF sweep.
 
@@ -159,6 +161,188 @@ def build_sharded_apf(
         ess = 1.0 / jax.lax.psum(jnp.sum(w_global * w_global), PARTICLE_AXIS)
         return sm, ivm, stm, ess
 
+    def step(carry, xs):
+        shard = jax.lax.axis_index(PARTICLE_AXIS)
+        log_weights, state, int_vars, Ss = carry
+        obs, inp_prev, inp_cur, key = xs  # key: shared across shards
+        key_res, key_draws = jax.random.split(key)
+        key_state, key_iv = jax.random.split(
+            jax.random.fold_in(key_draws, shard)
+        )
+
+        aux_state, aux_iv, lw_aux, ll_aux, _ = (
+            kern.auxiliary_fused_packed(
+                Ss, forgetting_factor, state, int_vars, inp_prev,
+                inp_cur, obs, log_weights,
+            )
+        )
+
+        w_global = _global_softmax(lw_aux)
+        if resampling_scheme == "exact":
+            # exact global systematic resampling + ring payload fetch
+            # (factors are recomputed from the redistributed statistics
+            # — cheaper than rotating the factor payload over ICI)
+            anc = global_resampling.global_systematic_slice(
+                key_res, w_global, PARTICLE_AXIS, n_dev
+            )
+            state_r, iv_r, Ss_r, ll_aux_r = (
+                global_resampling.ring_redistribute(
+                    (state, int_vars, Ss, ll_aux),
+                    anc, PARTICLE_AXIS, n_dev,
+                )
+            )
+            offset = jnp.zeros((), dtype=ll_aux.dtype)
+        else:
+            # local systematic resampling on globally normalized mass;
+            # small payloads gather through XLA, the packed statistics
+            # gather is fused into the draw/update kernel below
+            shard_mass = jnp.sum(w_global)
+            w_local = w_global / jnp.maximum(shard_mass, 1e-30)
+            ancestors = resampling.systematic(
+                jax.random.fold_in(key_res, shard), w_local
+            )
+            state_r, iv_r, ll_aux_r = kern.packed_gather(
+                (state, int_vars, ll_aux), ancestors
+            )
+            offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
+
+        new_state = kern.propagate_all(key_state, state_r, inp_prev, iv_r)
+        if resampling_scheme == "exact":
+            # fused draw + rank-1 statistics update (ONE kernel per
+            # GP) on the ring-redistributed statistics
+            Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
+                key_iv, Ss_r, forgetting_factor, new_state, inp_cur
+            )
+        else:
+            # fused resampling gather + draw + rank-1 update: each
+            # output particle's ancestor column is read inside the
+            # kernel (sorted shard-local systematic ancestors), so the
+            # gathered statistics never exist in HBM
+            Ss_new, new_iv, new_basis, _ = (
+                kern.draw_update_gather_all_packed(
+                    key_iv, Ss, ancestors, forgetting_factor,
+                    new_state, inp_cur,
+                )
+            )
+
+        ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
+        new_log_weights = ll_new - ll_aux_r + offset
+
+        w_new = _global_softmax(new_log_weights)
+        moments = reduce_moments(w_new, new_state, new_iv, Ss_new)
+        return (new_log_weights, new_state, new_iv, Ss_new), moments
+
+    def step_chunked(carry, xs):
+        """Microbatched step: identical semantics to ``step`` (local
+        scheme) with per-particle temporaries capped at one chunk.
+        Statistics ride the carry packed (one (rows, N) matrix per
+        GP)."""
+        shard = jax.lax.axis_index(PARTICLE_AXIS)
+        log_weights, state, int_vars, Ss = carry
+        obs, inp_prev, inp_cur, key = xs
+        key_res, key_draws = jax.random.split(key)
+        key_base = jax.random.fold_in(key_draws, shard)
+        n_chunks = n_loc // chunk_size
+
+        def sl(tree, c):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, c * chunk_size, chunk_size, axis=-1
+                ),
+                tree,
+            )
+
+        def st_chunk(buf, val, c):
+            return jax.tree_util.tree_map(
+                lambda b, v: jax.lax.dynamic_update_slice_in_dim(
+                    b, v, c * chunk_size, axis=-1
+                ),
+                buf,
+                val,
+            )
+
+        # phase 1: auxiliary log-likelihoods, chunk by chunk (the
+        # factors are recomputed in phase 2; keeping them for every
+        # chunk would defeat the memory cap)
+        def p1_body(c, ll_buf):
+            state_c, iv_c, Ss_c = sl((state, int_vars, Ss), c)
+            _, _, _, ll_aux_c, _ = kern.auxiliary_fused_packed(
+                Ss_c, forgetting_factor, state_c, iv_c, inp_prev,
+                inp_cur, obs, jnp.zeros((chunk_size,), dtype),
+            )
+            return jax.lax.dynamic_update_slice_in_dim(
+                ll_buf, ll_aux_c, c * chunk_size, axis=0
+            )
+
+        ll_aux = jax.lax.fori_loop(
+            0, n_chunks, p1_body, jnp.zeros((n_loc,), dtype)
+        )
+        lw_aux = ll_aux + log_weights
+
+        w_global = _global_softmax(lw_aux)
+        shard_mass = jnp.sum(w_global)
+        w_local = w_global / jnp.maximum(shard_mass, 1e-30)
+        ancestors = resampling.systematic(
+            jax.random.fold_in(key_res, shard), w_local
+        )
+        offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
+
+        # phase 2: gather + propagate + fused draw/update, chunk by
+        # chunk; outputs stream into full-size buffers (the new carry)
+        zeros_like_full = jax.tree_util.tree_map(
+            jnp.zeros_like, (state, int_vars, Ss)
+        )
+        ll_new0 = jnp.zeros((n_loc,), dtype)
+
+        def p2_body(c, bufs):
+            new_state_b, new_iv_b, new_Ss_b, ll_new_b = bufs
+            idx_c = jax.lax.dynamic_slice_in_dim(
+                ancestors, c * chunk_size, chunk_size, axis=0
+            )
+            state_g, iv_g, ll_aux_g = kern.gather(
+                (state, int_vars, ll_aux), idx_c
+            )
+            kc = jax.random.fold_in(key_base, c)
+            kc_state, kc_iv = jax.random.split(kc)
+            new_state_c = kern.propagate_all(
+                kc_state, state_g, inp_prev, iv_g
+            )
+            # fused gather+draw/update: the chunk's statistics columns
+            # are read from the FULL population inside the kernel
+            # (N_out = chunk < N_in = n_loc)
+            new_Ss_c, new_iv_c, _, _ = (
+                kern.draw_update_gather_all_packed(
+                    kc_iv, Ss, idx_c, forgetting_factor,
+                    new_state_c, inp_cur,
+                )
+            )
+            ll_new_c = kern.log_lik_all(
+                obs, new_state_c, inp_cur, new_iv_c
+            )
+            lw_c = ll_new_c - ll_aux_g + offset
+            return (
+                st_chunk(new_state_b, new_state_c, c),
+                st_chunk(new_iv_b, new_iv_c, c),
+                st_chunk(new_Ss_b, new_Ss_c, c),
+                jax.lax.dynamic_update_slice_in_dim(
+                    ll_new_b, lw_c, c * chunk_size, axis=0
+                ),
+            )
+
+        new_state, new_iv, new_Ss, new_log_weights = (
+            jax.lax.fori_loop(
+                0,
+                n_chunks,
+                p2_body,
+                (*zeros_like_full, ll_new0),
+            )
+        )
+
+        w_new = _global_softmax(new_log_weights)
+        moments = reduce_moments(w_new, new_state, new_iv, new_Ss)
+        return (new_log_weights, new_state, new_iv, new_Ss), moments
+
+
     def sweep(key, observations, inputs, init_mean, init_cov):
         """Per-shard body (runs under shard_map).
 
@@ -174,185 +358,6 @@ def build_sharded_apf(
             jax.random.fold_in(key_init, shard), n_loc,
             inputs[0], init_mean, init_cov,
         )
-
-        def step(carry, xs):
-            log_weights, state, int_vars, Ss = carry
-            obs, inp_prev, inp_cur, key = xs  # key: shared across shards
-            key_res, key_draws = jax.random.split(key)
-            key_state, key_iv = jax.random.split(
-                jax.random.fold_in(key_draws, shard)
-            )
-
-            aux_state, aux_iv, lw_aux, ll_aux, _ = (
-                kern.auxiliary_fused_packed(
-                    Ss, forgetting_factor, state, int_vars, inp_prev,
-                    inp_cur, obs, log_weights,
-                )
-            )
-
-            w_global = _global_softmax(lw_aux)
-            if resampling_scheme == "exact":
-                # exact global systematic resampling + ring payload fetch
-                # (factors are recomputed from the redistributed statistics
-                # — cheaper than rotating the factor payload over ICI)
-                anc = global_resampling.global_systematic_slice(
-                    key_res, w_global, PARTICLE_AXIS, n_dev
-                )
-                state_r, iv_r, Ss_r, ll_aux_r = (
-                    global_resampling.ring_redistribute(
-                        (state, int_vars, Ss, ll_aux),
-                        anc, PARTICLE_AXIS, n_dev,
-                    )
-                )
-                offset = jnp.zeros((), dtype=ll_aux.dtype)
-            else:
-                # local systematic resampling on globally normalized mass;
-                # small payloads gather through XLA, the packed statistics
-                # gather is fused into the draw/update kernel below
-                shard_mass = jnp.sum(w_global)
-                w_local = w_global / jnp.maximum(shard_mass, 1e-30)
-                ancestors = resampling.systematic(
-                    jax.random.fold_in(key_res, shard), w_local
-                )
-                state_r, iv_r, ll_aux_r = kern.packed_gather(
-                    (state, int_vars, ll_aux), ancestors
-                )
-                offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
-
-            new_state = kern.propagate_all(key_state, state_r, inp_prev, iv_r)
-            if resampling_scheme == "exact":
-                # fused draw + rank-1 statistics update (ONE kernel per
-                # GP) on the ring-redistributed statistics
-                Ss_new, new_iv, new_basis, _ = kern.draw_update_all_packed(
-                    key_iv, Ss_r, forgetting_factor, new_state, inp_cur
-                )
-            else:
-                # fused resampling gather + draw + rank-1 update: each
-                # output particle's ancestor column is read inside the
-                # kernel (sorted shard-local systematic ancestors), so the
-                # gathered statistics never exist in HBM
-                Ss_new, new_iv, new_basis, _ = (
-                    kern.draw_update_gather_all_packed(
-                        key_iv, Ss, ancestors, forgetting_factor,
-                        new_state, inp_cur,
-                    )
-                )
-
-            ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
-            new_log_weights = ll_new - ll_aux_r + offset
-
-            w_new = _global_softmax(new_log_weights)
-            moments = reduce_moments(w_new, new_state, new_iv, Ss_new)
-            return (new_log_weights, new_state, new_iv, Ss_new), moments
-
-        def step_chunked(carry, xs):
-            """Microbatched step: identical semantics to ``step`` (local
-            scheme) with per-particle temporaries capped at one chunk.
-            Statistics ride the carry packed (one (rows, N) matrix per
-            GP)."""
-            log_weights, state, int_vars, Ss = carry
-            obs, inp_prev, inp_cur, key = xs
-            key_res, key_draws = jax.random.split(key)
-            key_base = jax.random.fold_in(key_draws, shard)
-            n_chunks = n_loc // chunk_size
-
-            def sl(tree, c):
-                return jax.tree_util.tree_map(
-                    lambda a: jax.lax.dynamic_slice_in_dim(
-                        a, c * chunk_size, chunk_size, axis=-1
-                    ),
-                    tree,
-                )
-
-            def st_chunk(buf, val, c):
-                return jax.tree_util.tree_map(
-                    lambda b, v: jax.lax.dynamic_update_slice_in_dim(
-                        b, v, c * chunk_size, axis=-1
-                    ),
-                    buf,
-                    val,
-                )
-
-            # phase 1: auxiliary log-likelihoods, chunk by chunk (the
-            # factors are recomputed in phase 2; keeping them for every
-            # chunk would defeat the memory cap)
-            def p1_body(c, ll_buf):
-                state_c, iv_c, Ss_c = sl((state, int_vars, Ss), c)
-                _, _, _, ll_aux_c, _ = kern.auxiliary_fused_packed(
-                    Ss_c, forgetting_factor, state_c, iv_c, inp_prev,
-                    inp_cur, obs, jnp.zeros((chunk_size,), dtype),
-                )
-                return jax.lax.dynamic_update_slice_in_dim(
-                    ll_buf, ll_aux_c, c * chunk_size, axis=0
-                )
-
-            ll_aux = jax.lax.fori_loop(
-                0, n_chunks, p1_body, jnp.zeros((n_loc,), dtype)
-            )
-            lw_aux = ll_aux + log_weights
-
-            w_global = _global_softmax(lw_aux)
-            shard_mass = jnp.sum(w_global)
-            w_local = w_global / jnp.maximum(shard_mass, 1e-30)
-            ancestors = resampling.systematic(
-                jax.random.fold_in(key_res, shard), w_local
-            )
-            offset = jnp.log(jnp.maximum(shard_mass * n_dev, 1e-30))
-
-            # phase 2: gather + propagate + fused draw/update, chunk by
-            # chunk; outputs stream into full-size buffers (the new carry)
-            zeros_like_full = jax.tree_util.tree_map(
-                jnp.zeros_like, (state, int_vars, Ss)
-            )
-            ll_new0 = jnp.zeros((n_loc,), dtype)
-
-            def p2_body(c, bufs):
-                new_state_b, new_iv_b, new_Ss_b, ll_new_b = bufs
-                idx_c = jax.lax.dynamic_slice_in_dim(
-                    ancestors, c * chunk_size, chunk_size, axis=0
-                )
-                state_g, iv_g, ll_aux_g = kern.gather(
-                    (state, int_vars, ll_aux), idx_c
-                )
-                kc = jax.random.fold_in(key_base, c)
-                kc_state, kc_iv = jax.random.split(kc)
-                new_state_c = kern.propagate_all(
-                    kc_state, state_g, inp_prev, iv_g
-                )
-                # fused gather+draw/update: the chunk's statistics columns
-                # are read from the FULL population inside the kernel
-                # (N_out = chunk < N_in = n_loc)
-                new_Ss_c, new_iv_c, _, _ = (
-                    kern.draw_update_gather_all_packed(
-                        kc_iv, Ss, idx_c, forgetting_factor,
-                        new_state_c, inp_cur,
-                    )
-                )
-                ll_new_c = kern.log_lik_all(
-                    obs, new_state_c, inp_cur, new_iv_c
-                )
-                lw_c = ll_new_c - ll_aux_g + offset
-                return (
-                    st_chunk(new_state_b, new_state_c, c),
-                    st_chunk(new_iv_b, new_iv_c, c),
-                    st_chunk(new_Ss_b, new_Ss_c, c),
-                    jax.lax.dynamic_update_slice_in_dim(
-                        ll_new_b, lw_c, c * chunk_size, axis=0
-                    ),
-                )
-
-            new_state, new_iv, new_Ss, new_log_weights = (
-                jax.lax.fori_loop(
-                    0,
-                    n_chunks,
-                    p2_body,
-                    (*zeros_like_full, ll_new0),
-                )
-            )
-
-            w_new = _global_softmax(new_log_weights)
-            moments = reduce_moments(w_new, new_state, new_iv, new_Ss)
-            return (new_log_weights, new_state, new_iv, new_Ss), moments
 
         n_steps = observations.shape[0]
         keys = jax.random.split(key, n_steps - 1)
@@ -439,5 +444,113 @@ def build_sharded_apf(
             jnp.asarray(jnp.atleast_2d(init_state_cov), dtype=dtype),
         )
         return ShardedAPFResult(*out)
+
+    if window is None:
+        return run
+
+    # --- windowed dispatch -------------------------------------------
+    # The sweep is segmented into <= ``window``-step shard_map dispatches
+    # with the (sharded, on-device) particle carry passed between them, so
+    # arbitrarily long sweeps never exceed one dispatch's RPC deadline /
+    # compile budget — this is how the 1M-particle mode runs FULL
+    # sequences end-to-end. RNG discipline matches the single-dispatch
+    # path exactly (same key split + per-step key table), so results are
+    # identical up to reduction rounding.
+    import numpy as np
+
+    carry_spec = (
+        P(PARTICLE_AXIS),
+        P(None, PARTICLE_AXIS),
+        tuple(P(None, PARTICLE_AXIS) for _ in range(n_gp)),
+        tuple(P(None, PARTICLE_AXIS) for _ in range(n_gp)),
+    )
+    moments_spec = (P(), iv_spec, stats_mean_spec, P())
+
+    def init_shard(key_init, inputs0, init_mean, init_cov):
+        shard = jax.lax.axis_index(PARTICLE_AXIS)
+        log_weights, state, int_vars, stats = kern.init_particles(
+            jax.random.fold_in(key_init, shard), n_loc,
+            inputs0, init_mean, init_cov,
+        )
+        w0 = _global_softmax(log_weights)
+        m0 = reduce_moments(w0, state, int_vars, stats)
+        carry = (
+            log_weights, state, int_vars,
+            tuple(mniw.pack_stats_bl(st) for st in stats),
+        )
+        return carry, m0
+
+    init_sharded = jax.jit(shard_map(
+        init_shard, mesh=mesh, in_specs=(P(), P(), P(), P()),
+        out_specs=(carry_spec, moments_spec), check_vma=False,
+    ))
+
+    _step_fn = step if chunk_size is None else step_chunked
+
+    def window_shard(carry, obs_w, inp_prev_w, inp_cur_w, keys_w):
+        return jax.lax.scan(
+            _step_fn, carry, (obs_w, inp_prev_w, inp_cur_w, keys_w)
+        )
+
+    window_sharded = jax.jit(shard_map(
+        window_shard, mesh=mesh,
+        in_specs=(carry_spec, P(), P(), P(), P()),
+        out_specs=(carry_spec, moments_spec),
+        check_vma=False,
+    ))
+
+    def finalize_shard(carry):
+        final_log_w, final_state, _, final_Ss = carry
+        final_stats = tuple(
+            mniw.from_flat_bl(
+                mniw.unpack_stats_bl(S, kern.ms[i], kern.ns[i]),
+                kern.ms[i], kern.ns[i],
+            )
+            for i, S in enumerate(final_Ss)
+        )
+        return final_state.T, final_log_w, tuple(final_stats)
+
+    finalize_sharded = jax.jit(shard_map(
+        finalize_shard, mesh=mesh, in_specs=(carry_spec,),
+        out_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS), stats_spec),
+        check_vma=False,
+    ))
+
+    def run_windowed(
+        key, observations, inputs, init_state_mean, init_state_cov
+    ):
+        observations = jnp.atleast_2d(
+            jnp.asarray(observations, dtype=dtype).T
+        ).T
+        inputs = jnp.asarray(inputs, dtype=dtype)
+        T = observations.shape[0]
+        key, key_init = jax.random.split(key)
+        keys = jax.random.split(key, T - 1)
+        carry, m0 = init_sharded(
+            key_init, inputs[0],
+            jnp.asarray(init_state_mean, dtype=dtype),
+            jnp.asarray(jnp.atleast_2d(init_state_cov), dtype=dtype),
+        )
+        host = functools.partial(jax.tree_util.tree_map, np.asarray)
+        pieces = [jax.tree_util.tree_map(lambda a: np.asarray(a)[None], m0)]
+        for s in range(0, T - 1, window):
+            e = min(s + window, T - 1)
+            carry, mw = window_sharded(
+                carry,
+                observations[1 + s : 1 + e],
+                inputs[s:e],
+                inputs[s + 1 : e + 1],
+                keys[s:e],
+            )
+            pieces.append(host(mw))
+        final_state_t, final_log_w, final_stats = finalize_sharded(carry)
+        sm, ivm, stm, ess = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *pieces
+        )
+        return ShardedAPFResult(
+            sm, ivm, stm, ess, final_state_t, final_log_w, final_stats
+        )
+
+    return run_windowed
 
     return run

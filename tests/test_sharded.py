@@ -305,3 +305,37 @@ def test_gspmd_gibbs_fused_on_mesh(mesh8):
     # the chain moves
     diffs = np.abs(np.diff(np.asarray(out.states[:, :, 0]), axis=1)).mean(0)
     assert np.all(diffs > 1e-6), diffs.min()
+
+
+def test_windowed_sharded_apf_matches_single_dispatch(mesh8, toy_setup):
+    """Windowed dispatch (carry passed between <=window-step shard_map
+    calls) reproduces the single-dispatch sweep: the RNG key table is
+    identical by construction, so per-step moments agree to rounding."""
+    cfg, model, X, Y, inputs, key = toy_setup
+    kwargs = dict(dtype=jnp.float64)
+    run_full = jax.jit(
+        build_sharded_apf(
+            model.ssm, (model.gp,), cfg.n_particles, mesh8, 1.0, **kwargs
+        )
+    )
+    run_win = build_sharded_apf(
+        model.ssm, (model.gp,), cfg.n_particles, mesh8, 1.0,
+        window=7, **kwargs  # T-1=23 -> windows of 7,7,7,2
+    )
+    rf = run_full(key, Y, inputs, model.x0, model.p0)
+    rw = run_win(key, Y, inputs, model.x0, model.p0)
+    np.testing.assert_allclose(
+        np.asarray(rw.state_mean), np.asarray(rf.state_mean),
+        rtol=1e-9, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rw.ess), np.asarray(rf.ess), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(rw.final_log_weights),
+        np.asarray(rf.final_log_weights), rtol=1e-9, atol=1e-9,
+    )
+    for a, b in zip(rw.final_stats, rf.final_stats):
+        np.testing.assert_allclose(
+            np.asarray(a.T1), np.asarray(b.T1), rtol=1e-9, atol=1e-9
+        )
