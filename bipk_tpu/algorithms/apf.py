@@ -27,6 +27,7 @@ Architectural deltas (TPU-first):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Sequence
 
 import jax
@@ -78,6 +79,17 @@ class APFKernel:
         self.use_pallas = (
             False if (mesh is not None and mesh.devices.size > 1) else None
         )
+        # Factor reuse (auxiliary kernel emits [tril(L)|white]; the
+        # gather/draw kernel consumes it instead of refactorizing):
+        # MEASURED AND RETIRED as a default. Emitting is free (the aux
+        # kernel is compute-bound: 119.5 vs 118.9 us at m = 20,
+        # N = 32768 on v5e), but the consuming draw must gather a second
+        # ~tri(m)-row payload through its lane window and measures
+        # SLOWER than refactorizing (601 vs 481 us) — the O(m^3/6)
+        # refactorization it saves is cheaper than the extra gather
+        # traffic. Kept opt-in (BIPK_REUSE_FACTOR=1) with a bitwise
+        # parity test (tests/test_pallas_kernels.py).
+        self.reuse_factor = bool(os.environ.get("BIPK_REUSE_FACTOR"))
         self.priors = tuple(gp.prior_as(dtype) for gp in self.gps)
         self.ms = tuple(p.T1.shape[0] for p in self.priors)
         self.ns = tuple(p.T2.shape[0] for p in self.priors)
@@ -261,37 +273,74 @@ class APFKernel:
 
     # -- packed-statistics pieces (ONE (rows, N) matrix per GP) -----------
 
-    def projected_all_packed(self, Ss, lam, basis):
+    def projected_all_packed(self, Ss, lam, basis, emit_factor=False):
         """Per-GP fused factorization + predictive projection over the
-        packed statistics carry (see ``mniw.factorize_project_packed_bl``)."""
-        return tuple(
+        packed statistics carry (see ``mniw.factorize_project_packed_bl``).
+        With ``emit_factor`` returns ``(fps, lws)`` where ``lws`` carries
+        each GP's packed ``[tril(L)|white]`` factor (entries may be None
+        when the factor pair is unavailable)."""
+        if not emit_factor:
+            return tuple(
+                mniw.factorize_project_packed_bl(
+                    Ss[i], basis[i], prior=self.priors[i], lam=lam,
+                    m=self.ms[i], n=self.ns[i], use_pallas=self.use_pallas,
+                )
+                for i in range(self.n_gp)
+            )
+        outs = tuple(
             mniw.factorize_project_packed_bl(
                 Ss[i], basis[i], prior=self.priors[i], lam=lam,
                 m=self.ms[i], n=self.ns[i], use_pallas=self.use_pallas,
+                emit_factor=True,
             )
             for i in range(self.n_gp)
         )
+        return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
 
     def auxiliary_fused_packed(
         self, Ss, lam, state, int_vars, inp_prev, inp_cur, obs, log_weights,
     ):
         """:meth:`auxiliary_fused` over the packed statistics carry."""
+        out = self.auxiliary_fused_packed_f(
+            Ss, lam, state, int_vars, inp_prev, inp_cur, obs, log_weights,
+            emit_factor=False,
+        )
+        return out[:5]
+
+    def auxiliary_fused_packed_f(
+        self, Ss, lam, state, int_vars, inp_prev, inp_cur, obs, log_weights,
+        emit_factor=True,
+    ):
+        """:meth:`auxiliary_fused_packed` that also returns the per-GP
+        packed factors ``lws`` (6th element) for reuse by the
+        factor-consuming draw kernel — the O(m^3/6) per-particle
+        refactorization in the draw step is the sweep's dominant compute
+        term, and the auxiliary kernel has just computed the same factor."""
         aux_state = self.transition_all(state, inp_prev, int_vars)
         basis = tuple(
             self.basis_all(i, aux_state, inp_cur) for i in range(self.n_gp)
         )
-        fps = self.projected_all_packed(Ss, lam, basis)
+        if emit_factor:
+            fps, lws = self.projected_all_packed(
+                Ss, lam, basis, emit_factor=True
+            )
+        else:
+            fps = self.projected_all_packed(Ss, lam, basis)
+            lws = (None,) * self.n_gp
         aux_iv = tuple(fp.mean for fp in fps)
         ll_aux = self.log_lik_all(obs, aux_state, inp_cur, aux_iv)
-        return aux_state, aux_iv, ll_aux + log_weights, ll_aux, fps
+        return aux_state, aux_iv, ll_aux + log_weights, ll_aux, fps, lws
 
     def draw_update_gather_all_packed(
-        self, key, Ss, ancestors, lam, new_state, inp_cur
+        self, key, Ss, ancestors, lam, new_state, inp_cur, factors=None
     ):
         """:meth:`draw_update_all_packed` with the resampling gather fused
         into the kernel: takes the PRE-resampling packed statistics plus
         the (non-decreasing) ancestor indices; the gathered statistics
-        never exist in HBM (see ``mniw.draw_update_gather_packed_bl``)."""
+        never exist in HBM (see ``mniw.draw_update_gather_packed_bl``).
+        ``factors`` (from :meth:`auxiliary_fused_packed_f`) lets the
+        kernel reuse the auxiliary factorization instead of re-deriving
+        it."""
         new_basis = tuple(
             self.basis_all(i, new_state, inp_cur) for i in range(self.n_gp)
         )
@@ -301,6 +350,7 @@ class APFKernel:
                 keys[i], Ss[i], ancestors, new_basis[i],
                 prior=self.priors[i], lam=lam, m=self.ms[i], n=self.ns[i],
                 use_pallas=self.use_pallas,
+                factor=None if factors is None else factors[i],
             )
             for i in range(self.n_gp)
         )
@@ -514,9 +564,11 @@ def build_apf(
         # stats are scaled lazily, never in a standalone HBM pass; the
         # factorization + posterior-mean projection run as one fused kernel
         # whose m^2-sized factor never leaves VMEM
-        aux_state, aux_iv, lw_aux, ll_aux, _ = kern.auxiliary_fused_packed(
-            Ss, forgetting_factor, state, int_vars, inp_prev, inp_cur,
-            obs, log_weights,
+        aux_state, aux_iv, lw_aux, ll_aux, _, lws = (
+            kern.auxiliary_fused_packed_f(
+                Ss, forgetting_factor, state, int_vars, inp_prev, inp_cur,
+                obs, log_weights, emit_factor=kern.reuse_factor,
+            )
         )
 
         key, key_res = jax.random.split(key)
@@ -542,7 +594,8 @@ def build_apf(
         # HBM (five HBM passes over the statistics per step -> three)
         key, key_iv = jax.random.split(key)
         Ss_new, new_iv, new_basis, _ = kern.draw_update_gather_all_packed(
-            key_iv, Ss, ancestors, forgetting_factor, new_state, inp_cur
+            key_iv, Ss, ancestors, forgetting_factor, new_state, inp_cur,
+            factors=lws,
         )
 
         ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)

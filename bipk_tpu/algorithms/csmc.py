@@ -254,10 +254,10 @@ def build_csmc(
         log_weights, state, int_vars, Ss, ref_stats = carry
         obs, inp_prev, inp_cur, ref_x, ref_iv, key = xs
 
-        aux_state, aux_iv, lw_aux, ll_aux, fps = (
-            kern.auxiliary_fused_packed(
+        aux_state, aux_iv, lw_aux, ll_aux, fps, lws = (
+            kern.auxiliary_fused_packed_f(
                 Ss, 1.0, state, int_vars, inp_prev, inp_cur, obs,
-                log_weights,
+                log_weights, emit_factor=kern.reuse_factor,
             )
         )
 
@@ -311,7 +311,8 @@ def build_csmc(
         # (parity: /root/reference/src/Algorithm3.py:147-174)
         key, key_iv = jax.random.split(key)
         Ss_new, new_iv, new_basis, _ = kern.draw_update_gather_all_packed(
-            key_iv, Ss, ancestors_sorted, 1.0, new_state, inp_cur
+            key_iv, Ss, ancestors_sorted, 1.0, new_state, inp_cur,
+            factors=lws,
         )
         pinned_iv = tuple(
             jnp.atleast_1d(ref_iv[i]).astype(dtype) for i in range(n_gp)

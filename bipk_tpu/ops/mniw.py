@@ -321,7 +321,7 @@ def _gram_bl(W: jax.Array) -> jax.Array:
 
 def _pallas_ok(
     nat_or_dtype, use_pallas=None, m: int | None = None,
-    small_out: bool = False,
+    small_out: bool = False, gather: bool = False,
 ) -> bool:
     if use_pallas is False:
         return False
@@ -331,11 +331,14 @@ def _pallas_ok(
     from bipk_tpu.ops import pallas_kernels
 
     if m is not None:
-        ok = (
-            pallas_kernels.supported_small_out(m)
-            if small_out
-            else pallas_kernels.supported(m)
-        )
+        if gather:
+            ok = pallas_kernels.supported_gather(m)
+        else:
+            ok = (
+                pallas_kernels.supported_small_out(m)
+                if small_out
+                else pallas_kernels.supported(m)
+            )
         if not ok:
             return False
     return pallas_kernels.enabled()
@@ -691,21 +694,34 @@ def from_flat_bl(nat: MNIW, m: int, n: int) -> MNIW:
 
 def _tri_pack_idx(m: int):
     """Flat row indices (into an ``(m*m,)``-flattened square) of the lower
-    triangle, row-major, plus the transposed entries' indices."""
+    triangle, COLUMN-major (column ``j`` = entries ``(j..m-1, j)``,
+    contiguous), plus the transposed entries' indices.
+
+    Column-major order makes each column of the symmetric matrix a
+    contiguous row-slice of the packed layout — the column-on-sublanes
+    Pallas kernels read ``A``'s Cholesky columns as static sublane slices
+    (see ``pallas_kernels``)."""
     import numpy as np
 
-    i, j = np.tril_indices(m)
+    j, i = np.triu_indices(m)  # (row<=col) row-major == lower col-major
     return i * m + j, j * m + i
+
+
+def tri_col_offset(j: int, m: int) -> int:
+    """Offset of column ``j``'s diagonal entry in the column-major packed
+    lower triangle: ``sum_{c<j} (m - c)``."""
+    return j * m - (j * (j - 1)) // 2
 
 
 def _tri_unpack_idx(m: int):
     """For each entry of the flattened square, the triangular row holding
-    its value: ``full[i*m + j] = tri[max(i,j)(max(i,j)+1)/2 + min(i,j)]``."""
+    its value: ``full[i*m + j] = tri[off(min) + max - min]`` with
+    ``off(c) = c*m - c(c-1)/2`` (column-major packing)."""
     import numpy as np
 
     i, j = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
     hi, lo = np.maximum(i, j), np.minimum(i, j)
-    return (hi * (hi + 1) // 2 + lo).reshape(-1)
+    return (lo * m - (lo * (lo - 1)) // 2 + hi - lo).reshape(-1)
 
 
 def sym_to_tri_rows(X: jax.Array, m: int) -> jax.Array:
@@ -779,8 +795,15 @@ def factorize_project_packed_bl(
     n: int = 0,
     jitter: float | None = None,
     use_pallas: bool | None = None,
-) -> ProjectedFactor:
-    """:func:`factorize_project_bl` over the packed statistics layout."""
+    emit_factor: bool = False,
+):
+    """:func:`factorize_project_bl` over the packed statistics layout.
+
+    With ``emit_factor`` returns ``(ProjectedFactor, LW)`` where ``LW``
+    is the packed ``[tril(L) | white]`` factor block for reuse by
+    :func:`draw_update_gather_packed_bl` (or ``(fp, None)`` when the
+    Pallas factor pair is unavailable for this m/backend — callers must
+    handle the ``None``)."""
     if jitter is None:
         jitter = _default_jitter(S.dtype)
     if (
@@ -793,15 +816,22 @@ def factorize_project_packed_bl(
         prior_blocks = (
             (prior.T0, prior.T1, prior.T2) if prior is not None else None
         )
-        mean, col, row, ld1, ldp = pallas_kernels.factorize_project_packed(
+        emit = emit_factor and pallas_kernels.supported_factor(m)
+        out = pallas_kernels.factorize_project_packed(
             S, phi, float(jitter), float(lam), prior_blocks, m=m, n=n,
+            emit_factor=emit,
         )
+        mean, col, row, ld1, ldp = out[:5]
         df = S[-1] * lam + (prior.T3 if prior is not None else 0.0)
-        return ProjectedFactor(mean, col, row, ld1, ldp, df)
-    return factorize_project_bl(
+        fp = ProjectedFactor(mean, col, row, ld1, ldp, df)
+        if emit_factor:
+            return fp, (out[5] if emit else None)
+        return fp
+    fp = factorize_project_bl(
         unpack_stats_bl(S, m, n), phi, prior=prior, lam=lam, jitter=jitter,
         use_pallas=False,
     )
+    return (fp, None) if emit_factor else fp
 
 
 def draw_update_packed_bl(
@@ -873,6 +903,7 @@ def draw_update_gather_packed_bl(
     n: int = 0,
     jitter: float | None = None,
     use_pallas: bool | None = None,
+    factor: jax.Array | None = None,
 ):
     """:func:`draw_update_packed_bl` with the resampling gather fused in.
 
@@ -891,7 +922,11 @@ def draw_update_gather_packed_bl(
     """
     if jitter is None:
         jitter = _default_jitter(S.dtype)
-    if not (n <= 2 and phi.ndim == 2 and _pallas_ok(S, use_pallas, m=m)):
+    if not (
+        n <= 2
+        and phi.ndim == 2
+        and _pallas_ok(S, use_pallas, m=m, gather=True)
+    ):
         S_g = jnp.take(S, ancestors, axis=-1, indices_are_sorted=True)
         return draw_update_packed_bl(
             key, S_g, phi, prior=prior, lam=lam, m=m, n=n, jitter=jitter,
@@ -901,14 +936,17 @@ def draw_update_gather_packed_bl(
 
     n_in = S.shape[-1]
     N = ancestors.shape[-1]
-    total = -(-N // 1024) * 1024
     total_in = -(-n_in // 128) * 128
+    block, wt, _ = pk.gather_plan(m, n, total_in, S.dtype)
+    total = -(-N // block) * block
     anc = ancestors.astype(jnp.int32)
     anc_padded = (
         jnp.pad(anc, (0, total - N), constant_values=n_in - 1)
         if total != N else anc
     )
-    w, fits = pk.window_starts(anc_padded, total_in)
+    w, fits = pk.window_starts(
+        anc_padded, total_in, block=block, window_tiles=wt
+    )
 
     prior_blocks = (
         (prior.T0, prior.T1, prior.T2) if prior is not None else None
@@ -918,7 +956,16 @@ def draw_update_gather_packed_bl(
     u = jax.random.uniform(key_u, (n, N), S.dtype)
     v = jax.random.uniform(key_v, (n, N), S.dtype)
 
+    use_factor = factor is not None and pk.supported_factor(m)
+
     def fused(_):
+        if use_factor:
+            # reuse the auxiliary kernel's factor: the draw skips the
+            # O(m^3/6) refactorization (its dominant, spill-bound term)
+            return pk.draw_update_factor_gather_packed_blocks(
+                S, factor, anc, w, phi, u, v, float(jitter), float(lam),
+                prior_blocks, p3=p3, m=m, n=n,
+            )
         return pk.draw_update_gather_packed_blocks(
             S, anc, w, phi, u, v, float(jitter), float(lam),
             prior_blocks, p3=p3, m=m, n=n,

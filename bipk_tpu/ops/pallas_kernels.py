@@ -57,6 +57,19 @@ def supported_small_out(m: int) -> bool:
     return m <= _MAX_M_1D
 
 
+def supported_gather(m: int) -> bool:
+    """Whether the fused gather+draw/update kernel handles this m (the cs
+    layout carries no m^2-sized register working set, so it reaches the
+    same m <= 48 budget as the small-output kernels)."""
+    return m <= (_MAX_M_CS if _cs_layout(m) else _MAX_M)
+
+
+def supported_factor(m: int) -> bool:
+    """Whether the factor-emitting auxiliary kernel + factor-reusing draw
+    kernel pair handles this m (tiled layout only)."""
+    return m <= _MAX_M and not _cs_layout(m)
+
+
 # BIPK_PALLAS_INTERPRET=1 runs every kernel through the Pallas
 # interpreter (works on any backend): ~100x slower, but lets the
 # TPU-parity suite validate the kernel math on a CPU-only CI host.
@@ -135,6 +148,54 @@ def _chol_cols(read_a, m):
     return cols
 
 
+# Panel width of the scratch-backed blocked Cholesky. The fully-unrolled
+# SSA form (`_chol_cols`) keeps all m(m+1)/2 factor entries live as
+# (8, 128) vector values — ~210 vregs at m = 20, far past the register
+# file, so Mosaic spills and every downstream use pays a VMEM reload
+# (~m/2 reloads per entry). The blocked form keeps only one PANEL of
+# columns live (<= panel * m values) and streams previous panels out of
+# an explicit VMEM scratch ONCE per panel — VMEM traffic drops from
+# O(m^3/6) to O(m^3/(2*panel)) loads. Arithmetic order is identical to
+# `_chol_cols` (same k-ascending accumulation), so results are bitwise
+# the same.
+_CHOL_PANEL = 4
+
+
+def _chol_scratch(read_a, m, l_ref, panel=_CHOL_PANEL):
+    """Panel-blocked unrolled Cholesky into a packed lower-triangular VMEM
+    scratch: ``l_ref[i*(i+1)//2 + j] = L[i][j]``. Returns the SSA diagonal
+    entries ``[L[0][0], ..., L[m-1][m-1]]`` (so the log-determinant and
+    the solves' divisions don't re-read the scratch)."""
+    diag = []
+    for jb in range(0, m, panel):
+        hi = min(jb + panel, m)
+        # load the panel's lower trapezoid of A
+        s = {}
+        for c in range(jb, hi):
+            for i in range(c, m):
+                s[(i, c)] = read_a(i, c)
+        # update with previous panels: each L[i][k] is read from scratch
+        # ONCE and reused across the panel's columns
+        for k in range(jb):
+            lck = {c: l_ref[c * (c + 1) // 2 + k] for c in range(jb, hi)}
+            for i in range(jb, m):
+                lik = lck[i] if i < hi else l_ref[i * (i + 1) // 2 + k]
+                for c in range(jb, min(i + 1, hi)):
+                    s[(i, c)] = s[(i, c)] - lik * lck[c]
+        # factor the panel in registers (k-ascending, as _chol_cols)
+        for c in range(jb, hi):
+            for k in range(jb, c):
+                sck = s[(c, k)]
+                for i in range(c, m):
+                    s[(i, c)] = s[(i, c)] - s[(i, k)] * sck
+            inv = jax.lax.rsqrt(s[(c, c)])
+            for i in range(c, m):
+                s[(i, c)] = s[(i, c)] * inv
+                l_ref[i * (i + 1) // 2 + c] = s[(i, c)]
+            diag.append(s[(c, c)])
+    return diag
+
+
 def _make_read_a(read_t1, p1_ref, jitter, lam, m):
     """Entry reader for ``A = prior1 + lam * sym(stats1) (+ jitter)``.
 
@@ -187,21 +248,21 @@ def _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat):
 def _packed_readers(s_ref, m, n):
     """Entry readers for the packed statistics layout: ONE ref whose rows
     are ``[T0 (m*n) | tril(T1) (m(m+1)/2) | tril(T2) (n(n+1)/2) | T3 (1)]``
-    (see ``mniw.pack_stats_bl``). T1/T2 are stored as row-major lower
+    (see ``mniw.pack_stats_bl``). T1/T2 are stored as COLUMN-major lower
     triangles (they are symmetric by construction); off-triangle reads
     mirror. Returns ``(read_t0, read_t1, read_t2, read_t3)``."""
     o1 = m * n
     o2 = o1 + m * (m + 1) // 2
     o3 = o2 + n * (n + 1) // 2
 
-    def tri(o, i, j):
+    def tri(o, i, j, sz):
         hi, lo = (i, j) if i >= j else (j, i)
-        return s_ref[o + hi * (hi + 1) // 2 + lo]
+        return s_ref[o + lo * sz - (lo * (lo - 1)) // 2 + hi - lo]
 
     return (
         lambda i, c: s_ref[i * n + c],
-        lambda i, j: tri(o1, i, j),
-        lambda a, b: tri(o2, a, b),
+        lambda i, j: tri(o1, i, j, m),
+        lambda a, b: tri(o2, a, b, n),
         lambda: s_ref[o3],
     )
 
@@ -279,21 +340,37 @@ def _project_kernel(chol_ref, white_ref, phi_ref, mean_ref, col_ref, *, m, n):
 
 
 def _factorize_project_core(
-    raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2, *, m, n, jitter, lam
+    raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2, *, m, n, jitter, lam,
+    l_ref=None,
 ):
     """Shared factorize+project computation on particle-block values.
 
     Factors ``P1 + lam*sym(T1) (+jitter)``, forward-substitutes
     ``white = L^{-1}(P0 + lam*T0)`` and ``v = L^{-1} phi``, and returns
-    ``(cols, white, v, psi, mean, col, half_ld_t1, logdet_psi)`` — the
-    factor stays entirely in VMEM/registers.
+    ``(psi, mean, col, half_ld_t1, logdet_psi)`` — the factor stays
+    entirely on-chip. With ``l_ref`` (a ``(m(m+1)/2, block)`` VMEM
+    scratch) the Cholesky runs panel-blocked through the scratch instead
+    of as one all-live SSA expansion — see ``_CHOL_PANEL``. ``phi_ref``
+    may be ``None`` (log-base-measure use), in which case ``mean``/``col``
+    are ``None``.
     """
     assert n <= 2, "fused project kernels support n <= 2"
-    cols = _chol_cols(_make_read_a(raw_t1, p1, jitter, lam, m), m)
+    read_a = _make_read_a(raw_t1, p1, jitter, lam, m)
+    if l_ref is not None:
+        diag = _chol_scratch(read_a, m, l_ref)
 
-    half_ld_t1 = jnp.log(cols[0][0])
+        def read_l(i, k):
+            return l_ref[i * (i + 1) // 2 + k]
+    else:
+        cols = _chol_cols(read_a, m)
+        diag = [cols[i][i] for i in range(m)]
+
+        def read_l(i, k):
+            return cols[k][i]
+
+    half_ld_t1 = jnp.log(diag[0])
     for i in range(1, m):
-        half_ld_t1 = half_ld_t1 + jnp.log(cols[i][i])
+        half_ld_t1 = half_ld_t1 + jnp.log(diag[i])
 
     def read_t0(i, c):
         a = raw_t0(i, c)
@@ -311,21 +388,24 @@ def _factorize_project_core(
             v_ = v_ + p2[a_, b]
         return v_
 
-    # white = L^{-1} T0 and v = L^{-1} phi in one forward substitution pass
+    # white = L^{-1} T0 and v = L^{-1} phi in one forward substitution
+    # pass; each factor entry is read once and reused for all n+1 columns
     white = []
     v = []
     for i in range(m):
+        li = [read_l(i, k) for k in range(i)]
         row = []
         for c in range(n):
             acc = read_t0(i, c)
             for k in range(i):
-                acc = acc - cols[k][i] * white[k][c]
-            row.append(acc / cols[i][i])
+                acc = acc - li[k] * white[k][c]
+            row.append(acc / diag[i])
         white.append(row)
-        accv = phi_ref[i]
-        for k in range(i):
-            accv = accv - cols[k][i] * v[k]
-        v.append(accv / cols[i][i])
+        if phi_ref is not None:
+            accv = phi_ref[i]
+            for k in range(i):
+                accv = accv - li[k] * v[k]
+            v.append(accv / diag[i])
 
     psi = [[None] * n for _ in range(n)]
     for a in range(n):
@@ -340,6 +420,9 @@ def _factorize_project_core(
         off = 0.5 * (psi[0][1] + psi[1][0])
         logdet_psi = jnp.log(psi[0][0] * psi[1][1] - off * off)
 
+    if phi_ref is None:
+        return psi, white, None, None, half_ld_t1, logdet_psi
+
     mean = []
     for c in range(n):
         acc = white[0][c] * v[0]
@@ -350,12 +433,12 @@ def _factorize_project_core(
     for k in range(1, m):
         acc = acc + v[k] * v[k]
     col = acc + 1.0
-    return cols, white, v, psi, mean, col, half_ld_t1, logdet_psi
+    return psi, white, mean, col, half_ld_t1, logdet_psi
 
 
 def _factorize_project_kernel(
     t0_ref, t1_ref, t2_ref, p0_ref, p1_ref, p2_ref, phi_ref,
-    mean_ref, col_ref, row_ref, ld_ref,
+    mean_ref, col_ref, row_ref, ld_ref, l_ref,
     *, m, n, jitter, lam, has_prior, flat,
 ):
     """Fused factorize + predictive projection with NO m^2-sized outputs.
@@ -372,9 +455,9 @@ def _factorize_project_kernel(
     p1 = p1_ref if has_prior else None
     p2 = p2_ref if has_prior else None
     raw_t0, raw_t1, raw_t2 = _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat)
-    _, _, _, psi, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+    psi, white, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
         raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
-        m=m, n=n, jitter=jitter, lam=lam,
+        m=m, n=n, jitter=jitter, lam=lam, l_ref=l_ref,
     )
     for a in range(n):
         for b in range(n):
@@ -388,7 +471,7 @@ def _factorize_project_kernel(
 
 def _packed_fp_kernel(
     s_ref, p0_ref, p1_ref, p2_ref, phi_ref,
-    mean_ref, col_ref, row_ref, ld_ref,
+    mean_ref, col_ref, row_ref, ld_ref, l_ref,
     *, m, n, jitter, lam, has_prior,
 ):
     """:func:`_factorize_project_kernel` over the packed statistics
@@ -397,9 +480,9 @@ def _packed_fp_kernel(
     p1 = p1_ref if has_prior else None
     p2 = p2_ref if has_prior else None
     raw_t0, raw_t1, raw_t2, _ = _packed_readers(s_ref, m, n)
-    _, _, _, psi, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+    psi, white, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
         raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
-        m=m, n=n, jitter=jitter, lam=lam,
+        m=m, n=n, jitter=jitter, lam=lam, l_ref=l_ref,
     )
     for a in range(n):
         for b in range(n):
@@ -411,9 +494,174 @@ def _packed_fp_kernel(
     ld_ref[1] = logdet_psi
 
 
+def _packed_fp_emit_kernel(
+    s_ref, p0_ref, p1_ref, p2_ref, phi_ref,
+    mean_ref, col_ref, row_ref, ld_ref, lw_ref,
+    *, m, n, jitter, lam, has_prior,
+):
+    """:func:`_packed_fp_kernel` that ALSO emits the Cholesky factor and
+    whitened prior-mean as an output: ``lw_ref`` rows ``[tril(L)
+    (m(m+1)/2, row-major i(i+1)/2+k) | white (m*n)]``. The panel-blocked
+    Cholesky writes its scratch rows straight into the output block, so
+    emitting the factor costs ONE extra HBM write (no extra compute) —
+    the factor-reusing draw kernel then skips the O(m^3/6)
+    refactorization entirely (see ``_du_factor_gather_kernel``)."""
+    p0 = p0_ref if has_prior else None
+    p1 = p1_ref if has_prior else None
+    p2 = p2_ref if has_prior else None
+    raw_t0, raw_t1, raw_t2, _ = _packed_readers(s_ref, m, n)
+    psi, white, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+        raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
+        m=m, n=n, jitter=jitter, lam=lam, l_ref=lw_ref,
+    )
+    tri = m * (m + 1) // 2
+    for i in range(m):
+        for c in range(n):
+            lw_ref[tri + i * n + c] = white[i][c]
+    for a in range(n):
+        for b in range(n):
+            row_ref[a, b] = psi[a][b]
+    for c in range(n):
+        mean_ref[c] = mean[c]
+    col_ref[0] = col
+    ld_ref[0] = 2.0 * half_ld_t1
+    ld_ref[1] = logdet_psi
+
+
+def _du_factor_gather_kernel(
+    w_ref, s_win_ref, lw_win_ref, anc_ref, p0_ref, p1_ref, p2_ref,
+    phi_ref, u_ref, v_ref, snew_ref, y_ref, ld_ref,
+    s_scratch, lw_scratch,
+    *, m, n, jitter, lam, p3, has_prior, rows, rows_lw,
+):
+    """Fused gather + predictive draw + rank-1 update REUSING the factor
+    the auxiliary kernel emitted for the same (pre-resampling) statistics.
+
+    Gathers both the packed statistics AND the packed ``[tril(L)|white]``
+    columns for each output particle's ancestor, then replaces the
+    O(m^3/6)-FLOP refactorization with an O(m^2/2) forward substitution
+    ``v = L^{-1} phi`` — the draw kernel's dominant compute term (the
+    unrolled Cholesky's register working set spills ~5x over the HBM
+    roofline at m = 20). Outputs are bitwise-identical to
+    :func:`_draw_update_gather_kernel` (same `_chol_scratch` arithmetic
+    produced L/white at the auxiliary step; same substitution order).
+    """
+    ws = w_ref[pl.program_id(0)] * 128
+    _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, s_scratch, rows)
+    _windowed_gather_to_scratch(
+        lw_win_ref, anc_ref, ws, lw_scratch, rows_lw
+    )
+
+    p0 = p0_ref if has_prior else None
+    p2 = p2_ref if has_prior else None
+    raw_t0, raw_t1, raw_t2, raw_t3 = _packed_readers(s_scratch, m, n)
+    tri = m * (m + 1) // 2
+
+    def read_l(i, k):
+        return lw_scratch[i * (i + 1) // 2 + k]
+
+    def read_w(i, c):
+        return lw_scratch[tri + i * n + c]
+
+    diag = [read_l(i, i) for i in range(m)]
+    half_ld_t1 = jnp.log(diag[0])
+    for i in range(1, m):
+        half_ld_t1 = half_ld_t1 + jnp.log(diag[i])
+
+    # v = L^{-1} phi (the only substitution left in the draw)
+    v = []
+    for i in range(m):
+        accv = phi_ref[i]
+        for k in range(i):
+            accv = accv - read_l(i, k) * v[k]
+        v.append(accv / diag[i])
+
+    def read_t2(a_, b):
+        v_ = raw_t2(a_, b)
+        if lam != 1.0:
+            v_ = v_ * lam
+        if p2 is not None:
+            v_ = v_ + p2[a_, b]
+        return v_
+
+    psi = [[None] * n for _ in range(n)]
+    for a in range(n):
+        for b in range(n):
+            acc = read_t2(a, b)
+            for k in range(m):
+                acc = acc - read_w(k, a) * read_w(k, b)
+            psi[a][b] = acc
+    if n == 1:
+        logdet_psi = jnp.log(psi[0][0])
+    else:
+        off = 0.5 * (psi[0][1] + psi[1][0])
+        logdet_psi = jnp.log(psi[0][0] * psi[1][1] - off * off)
+
+    mean = []
+    for c in range(n):
+        acc = read_w(0, c) * v[0]
+        for k in range(1, m):
+            acc = acc + read_w(k, c) * v[k]
+        mean.append(acc)
+    acc = v[0] * v[0]
+    for k in range(1, m):
+        acc = acc + v[k] * v[k]
+    col = acc + 1.0
+
+    df = raw_t3() * lam + p3
+    df_pred = df + (1.0 - n)
+
+    two_pi = 6.283185307179586
+    t = []
+    for c in range(n):
+        u = 1.0 - u_ref[c]
+        r = jnp.sqrt(
+            df_pred * (jnp.exp(-(2.0 / df_pred) * jnp.log(u)) - 1.0)
+        )
+        t.append(r * jnp.cos(two_pi * v_ref[c]))
+
+    inv_df = 1.0 / df_pred
+    if n == 1:
+        scaled = [jnp.sqrt(psi[0][0] * inv_df) * t[0]]
+    else:
+        r00 = psi[0][0] * inv_df
+        off = 0.5 * (psi[0][1] + psi[1][0]) * inv_df
+        r11 = psi[1][1] * inv_df
+        l00 = jnp.sqrt(r00)
+        l10 = off / l00
+        l11 = jnp.sqrt(r11 - l10 * l10)
+        scaled = [l00 * t[0], l10 * t[0] + l11 * t[1]]
+
+    sqrt_col = jnp.sqrt(col)
+    y = [mean[c] + scaled[c] * sqrt_col for c in range(n)]
+
+    o1 = m * n
+    o2 = o1 + m * (m + 1) // 2
+    o3 = o2 + n * (n + 1) // 2
+    phi = [phi_ref[i] for i in range(m)]
+    for i in range(m):
+        for c in range(n):
+            snew_ref[i * n + c] = raw_t0(i, c) * lam + phi[i] * y[c]
+    for j in range(m):
+        for i in range(j, m):
+            snew_ref[o1 + j * m - (j * (j - 1)) // 2 + i - j] = (
+                raw_t1(i, j) * lam + phi[i] * phi[j]
+            )
+    for b in range(n):
+        for a in range(b, n):
+            snew_ref[o2 + b * n - (b * (b - 1)) // 2 + a - b] = (
+                raw_t2(a, b) * lam + y[a] * y[b]
+            )
+    snew_ref[o3] = raw_t3() * lam + 1.0
+    for c in range(n):
+        y_ref[c] = y[c]
+    ld_ref[0] = 2.0 * half_ld_t1
+    ld_ref[1] = logdet_psi
+
+
 def _draw_update_packed_kernel(
     s_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
-    snew_ref, y_ref, ld_ref,
+    snew_ref, y_ref, ld_ref, l_ref,
     *, m, n, jitter, lam, p3, has_prior,
 ):
     """Fused matrix-t predictive draw + rank-1 statistics update.
@@ -432,9 +680,9 @@ def _draw_update_packed_kernel(
     p1 = p1_ref if has_prior else None
     p2 = p2_ref if has_prior else None
     raw_t0, raw_t1, raw_t2, raw_t3 = _packed_readers(s_ref, m, n)
-    _, _, _, psi, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+    psi, white, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
         raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
-        m=m, n=n, jitter=jitter, lam=lam,
+        m=m, n=n, jitter=jitter, lam=lam, l_ref=l_ref,
     )
 
     # predictive degrees of freedom (sample_projected_bl semantics)
@@ -478,14 +726,14 @@ def _draw_update_packed_kernel(
     for i in range(m):
         for c in range(n):
             snew_ref[i * n + c] = raw_t0(i, c) * lam + phi[i] * y[c]
-    for i in range(m):
-        for j in range(i + 1):
-            snew_ref[o1 + i * (i + 1) // 2 + j] = (
+    for j in range(m):
+        for i in range(j, m):
+            snew_ref[o1 + j * m - (j * (j - 1)) // 2 + i - j] = (
                 raw_t1(i, j) * lam + phi[i] * phi[j]
             )
-    for a in range(n):
-        for b in range(a + 1):
-            snew_ref[o2 + a * (a + 1) // 2 + b] = (
+    for b in range(n):
+        for a in range(b, n):
+            snew_ref[o2 + b * n - (b * (b - 1)) // 2 + a - b] = (
                 raw_t2(a, b) * lam + y[a] * y[b]
             )
     snew_ref[o3] = raw_t3() * lam + 1.0
@@ -544,7 +792,7 @@ def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
 
 def _draw_update_gather_kernel(
     w_ref, s_win_ref, anc_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref,
-    v_ref, snew_ref, y_ref, ld_ref, scratch_ref,
+    v_ref, snew_ref, y_ref, ld_ref, scratch_ref, l_ref,
     *, m, n, jitter, lam, p3, has_prior, rows,
 ):
     """:func:`_draw_update_packed_kernel` with the resampling gather fused
@@ -565,9 +813,9 @@ def _draw_update_gather_kernel(
     p1 = p1_ref if has_prior else None
     p2 = p2_ref if has_prior else None
     raw_t0, raw_t1, raw_t2, raw_t3 = _packed_readers(scratch_ref, m, n)
-    _, _, _, psi, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
+    psi, white, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
         raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
-        m=m, n=n, jitter=jitter, lam=lam,
+        m=m, n=n, jitter=jitter, lam=lam, l_ref=l_ref,
     )
 
     df = raw_t3() * lam + p3
@@ -604,14 +852,14 @@ def _draw_update_gather_kernel(
     for i in range(m):
         for c in range(n):
             snew_ref[i * n + c] = raw_t0(i, c) * lam + phi[i] * y[c]
-    for i in range(m):
-        for j in range(i + 1):
-            snew_ref[o1 + i * (i + 1) // 2 + j] = (
+    for j in range(m):
+        for i in range(j, m):
+            snew_ref[o1 + j * m - (j * (j - 1)) // 2 + i - j] = (
                 raw_t1(i, j) * lam + phi[i] * phi[j]
             )
-    for a in range(n):
-        for b in range(a + 1):
-            snew_ref[o2 + a * (a + 1) // 2 + b] = (
+    for b in range(n):
+        for a in range(b, n):
+            snew_ref[o2 + b * n - (b * (b - 1)) // 2 + a - b] = (
                 raw_t2(a, b) * lam + y[a] * y[b]
             )
     snew_ref[o3] = raw_t3() * lam + 1.0
@@ -631,19 +879,54 @@ def _draw_update_gather_kernel(
 _GATHER_WINDOW_TILES = 16
 
 
-def window_starts(ancestors: jax.Array, n_in_padded: int):
+def window_starts(
+    ancestors: jax.Array, n_in_padded: int, block: int = _BLOCK,
+    window_tiles: int | None = None,
+):
     """Per-output-block window starts (in 128-lane tiles) + whether every
     block's ancestors fit its window. ``ancestors`` is the padded
     non-decreasing ancestor vector (one entry per padded OUTPUT particle,
-    values indexing the ``n_in_padded``-column source)."""
-    nb = ancestors.shape[0] // _BLOCK
-    wt = min(_GATHER_WINDOW_TILES, n_in_padded // _LANES)
-    a = ancestors.reshape(nb, _BLOCK)
+    values indexing the ``n_in_padded``-column source). ``block`` is the
+    kernel's output-block width (1024 for the tiled layout; the cs lane
+    block otherwise) and ``window_tiles`` its window width."""
+    nb = ancestors.shape[0] // block
+    wt = window_tiles or _GATHER_WINDOW_TILES
+    wt = min(wt, n_in_padded // _LANES)
+    a = ancestors.reshape(nb, block)
     first = jax.lax.shift_right_logical(a[:, 0], jnp.int32(7))
     last = jax.lax.shift_right_logical(a[:, -1], jnp.int32(7))
     w = jnp.clip(first, 0, n_in_padded // _LANES - wt)
     fits = jnp.all(last - w < wt)
     return w.astype(jnp.int32), fits
+
+
+def gather_plan(m: int, n: int, n_in_padded: int, dtype=jnp.float32):
+    """(output block, window tiles, use_cs) of the fused-gather
+    draw/update kernel for this workload — shared between the mniw
+    dispatch (ancestor padding + fits check) and the kernel launch.
+
+    The cs window budget caps ``rows * window`` VMEM at ~5 MB and keeps
+    the window at least one tile wider than the output block (ancestors
+    of ``block`` outputs span at least ``block`` source lanes)."""
+    rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
+    if not _cs_layout(m):
+        return _BLOCK, min(_GATHER_WINDOW_TILES, n_in_padded // _LANES), False
+    itemsize = jnp.dtype(dtype).itemsize
+    lb = _cs_lanes(rows, dtype)
+    # the gather kernel holds window + gathered block + factor columns +
+    # double-buffered outputs at once — cap the block buffer at ~1 MB
+    # (m = 41 at lb = 512 measures 18.5 MB scoped VMEM, over the 16 MB
+    # limit; lb = 256 fits)
+    while lb > _LANES and rows * lb * itemsize > 2**20:
+        lb //= 2
+    wt = max(2, min(
+        _GATHER_WINDOW_TILES,
+        (4 * 2**20 // itemsize) // (rows * _LANES),
+    ))
+    wt = min(wt, n_in_padded // _LANES)
+    while lb > _LANES and wt * _LANES < lb + _LANES:
+        lb //= 2
+    return lb, wt, True
 
 
 @functools.partial(
@@ -670,10 +953,17 @@ def draw_update_gather_packed_blocks(
     assert S.shape[0] == rows, (S.shape, rows)
     n_in = S.shape[-1]
     N = ancestors.shape[-1]
+    total_in = -(-n_in // _LANES) * _LANES
+    block, wt, use_cs = gather_plan(m, n, total_in, S.dtype)
+    if use_cs:
+        return _cs_du_gather_call(
+            S, ancestors, w, phi, u, v, jitter, lam, prior, p3, m, n,
+            rows=rows, block=block, wt=wt, total_in=total_in,
+        )
+
     assert supported(m), f"m={m} exceeds the fused draw-update budget"
     total = -(-N // _BLOCK) * _BLOCK
     grid = (total // _BLOCK,)
-    total_in = -(-n_in // _LANES) * _LANES
     win = min(_GATHER_WINDOW_TILES, total_in // _LANES) * _LANES
 
     has_prior = prior is not None
@@ -731,7 +1021,10 @@ def draw_update_gather_packed_blocks(
             vspec((m,)), vspec((n,)), vspec((n,)),
         ],
         out_specs=[vspec((rows,)), vspec((n,)), vspec((2,))],
-        scratch_shapes=[pltpu.VMEM((rows, _ROWS, _LANES), S.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((rows, _ROWS, _LANES), S.dtype),
+            _l_scratch(m, True, S.dtype),
+        ],
     )
 
     snew, y, ld = _pallas_call(
@@ -760,8 +1053,119 @@ def draw_update_gather_packed_blocks(
     return snew, y, ld[0], ld[1]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("jitter", "lam", "p3", "m", "n")
+)
+def draw_update_factor_gather_packed_blocks(
+    S, LW, ancestors, w, phi, u, v, jitter: float, lam: float = 1.0,
+    prior=None, p3: float = 0.0, m: int = 0, n: int = 0,
+):
+    """:func:`draw_update_gather_packed_blocks` reusing the auxiliary
+    kernel's emitted factor ``LW (m(m+1)/2 + m*n, N_in)`` instead of
+    refactorizing — both the statistics and the factor columns gather
+    inside the kernel (see ``_du_factor_gather_kernel``)."""
+    rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
+    rows_lw = m * (m + 1) // 2 + m * n
+    assert S.shape[0] == rows and LW.shape[0] == rows_lw
+    n_in = S.shape[-1]
+    N = ancestors.shape[-1]
+    assert supported_factor(m), f"m={m} beyond the factor-reuse budget"
+    total = -(-N // _BLOCK) * _BLOCK
+    grid = (total // _BLOCK,)
+    total_in = -(-n_in // _LANES) * _LANES
+    win = min(_GATHER_WINDOW_TILES, total_in // _LANES) * _LANES
+
+    has_prior = prior is not None
+    if has_prior:
+        p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
+    else:
+        zero = jnp.zeros((1, 1), S.dtype)
+        p0 = p1 = p2 = zero
+
+    anc = ancestors.astype(jnp.int32)
+    if total != N:
+        anc = jnp.pad(anc, (0, total - N), constant_values=n_in - 1)
+    anc_blocked = anc.reshape(total // _LANES, _LANES)
+
+    S_pad = _pad_last(S, total_in)
+    LW_pad = _pad_last(LW, total_in)
+
+    def win_spec(r):
+        if win == total_in:
+            return pl.BlockSpec(
+                (r, total_in), lambda i, w_ref: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        from jax._src.pallas import core as pallas_core
+
+        return pl.BlockSpec(
+            (pallas_core.Element(r), pallas_core.Element(win)),
+            lambda i, w_ref: (
+                0, pl.multiple_of(w_ref[i] * _LANES, _LANES)
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    def vspec(lead):
+        zeros = (0,) * len(lead)
+        return pl.BlockSpec(
+            (*lead, _ROWS, _LANES),
+            lambda i, w_ref, _z=zeros: (*_z, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, w_ref, _z=(0,) * len(shape): _z,
+            memory_space=pltpu.SMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            win_spec(rows),
+            win_spec(rows_lw),
+            vspec(()),
+            sspec(p0.shape), sspec(p1.shape), sspec(p2.shape),
+            vspec((m,)), vspec((n,)), vspec((n,)),
+        ],
+        out_specs=[vspec((rows,)), vspec((n,)), vspec((2,))],
+        scratch_shapes=[
+            pltpu.VMEM((rows, _ROWS, _LANES), S.dtype),
+            pltpu.VMEM((rows_lw, _ROWS, _LANES), S.dtype),
+        ],
+    )
+
+    snew, y, ld = _pallas_call(
+        functools.partial(
+            _du_factor_gather_kernel, m=m, n=n, jitter=jitter, lam=lam,
+            p3=p3, has_prior=has_prior, rows=rows, rows_lw=rows_lw,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, total // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct((n, total // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct((2, total // _LANES, _LANES), S.dtype),
+        ],
+    )(
+        w,
+        S_pad,
+        LW_pad,
+        anc_blocked,
+        p0, p1, p2,
+        _blockify(phi, total),
+        _blockify(u, total),
+        _blockify(v, total),
+    )
+    snew = _unblock(snew, N)
+    y = _unblock(y, N)
+    ld = _unblock(ld, N)
+    return snew, y, ld[0], ld[1]
+
+
 def _log_base_measure_kernel(
-    t0_ref, t1_ref, t2_ref, out_ref, *, m, n, jitter, flat=False
+    t0_ref, t1_ref, t2_ref, out_ref, l_ref, *, m, n, jitter, flat=False
 ):
     """Log-determinant pieces of the MNIW base measure (no nu terms).
 
@@ -770,42 +1174,18 @@ def _log_base_measure_kernel(
     workload has 1-2 output dims); callers fall back to the XLA path above.
     """
     assert n <= 2, "pallas log_base_measure supports n <= 2"
-
     raw_t0, raw_t1, raw_t2 = _stat_readers(t0_ref, t1_ref, t2_ref, m, n, flat)
-    cols = _chol_cols(_make_read_a(raw_t1, None, jitter, 1.0, m), m)
-    half_logdet_t1 = jnp.log(cols[0][0])
-    for i in range(1, m):
-        half_logdet_t1 = half_logdet_t1 + jnp.log(cols[i][i])
-
-    white = []
-    for i in range(m):
-        row = []
-        for c in range(n):
-            acc = raw_t0(i, c)
-            for k in range(i):
-                acc = acc - cols[k][i] * white[k][c]
-            row.append(acc / cols[i][i])
-        white.append(row)
-
-    psi = [[None] * n for _ in range(n)]
-    for a in range(n):
-        for b in range(n):
-            acc = raw_t2(a, b)
-            for k in range(m):
-                acc = acc - white[k][a] * white[k][b]
-            psi[a][b] = acc
-    if n == 1:
-        logdet_psi = jnp.log(psi[0][0])
-    else:
-        off = 0.5 * (psi[0][1] + psi[1][0])
-        logdet_psi = jnp.log(psi[0][0] * psi[1][1] - off * off)
-
+    psi, _, _, _, half_logdet_t1, logdet_psi = _factorize_project_core(
+        raw_t0, raw_t1, raw_t2, None, None, None, None,
+        m=m, n=n, jitter=jitter, lam=1.0, l_ref=l_ref,
+    )
     out_ref[0] = 2.0 * half_logdet_t1
     out_ref[1] = logdet_psi
 
 
 def _packed_lbm_kernel(
-    s_ref, p0_ref, p1_ref, p2_ref, out_ref, *, m, n, jitter, has_prior
+    s_ref, p0_ref, p1_ref, p2_ref, out_ref, l_ref,
+    *, m, n, jitter, has_prior,
 ):
     """:func:`_log_base_measure_kernel` over the packed layout, with the
     (small) prior/reference offset folded in — the full
@@ -815,48 +1195,20 @@ def _packed_lbm_kernel(
     p1 = p1_ref if has_prior else None
     p2 = p2_ref if has_prior else None
     raw_t0, raw_t1, raw_t2, _ = _packed_readers(s_ref, m, n)
-    cols = _chol_cols(_make_read_a(raw_t1, p1, jitter, 1.0, m), m)
-    half_logdet_t1 = jnp.log(cols[0][0])
-    for i in range(1, m):
-        half_logdet_t1 = half_logdet_t1 + jnp.log(cols[i][i])
-
-    def read_t0(i, c):
-        a = raw_t0(i, c)
-        if p0 is not None:
-            a = a + p0[i, c]
-        return a
-
-    def read_t2(a_, b):
-        v = raw_t2(a_, b)
-        if p2 is not None:
-            v = v + p2[a_, b]
-        return v
-
-    white = []
-    for i in range(m):
-        row = []
-        for c in range(n):
-            acc = read_t0(i, c)
-            for k in range(i):
-                acc = acc - cols[k][i] * white[k][c]
-            row.append(acc / cols[i][i])
-        white.append(row)
-
-    psi = [[None] * n for _ in range(n)]
-    for a in range(n):
-        for b in range(n):
-            acc = read_t2(a, b)
-            for k in range(m):
-                acc = acc - white[k][a] * white[k][b]
-            psi[a][b] = acc
-    if n == 1:
-        logdet_psi = jnp.log(psi[0][0])
-    else:
-        off = 0.5 * (psi[0][1] + psi[1][0])
-        logdet_psi = jnp.log(psi[0][0] * psi[1][1] - off * off)
-
+    psi, _, _, _, half_logdet_t1, logdet_psi = _factorize_project_core(
+        raw_t0, raw_t1, raw_t2, None, p0, p1, p2,
+        m=m, n=n, jitter=jitter, lam=1.0, l_ref=l_ref,
+    )
     out_ref[0] = 2.0 * half_logdet_t1
     out_ref[1] = logdet_psi
+
+
+def _l_scratch(m, tiled, dtype):
+    """VMEM scratch for the panel-blocked Cholesky factor: packed
+    lower-triangle rows over one particle block (see ``_chol_scratch``)."""
+    tri = m * (m + 1) // 2
+    shape = (tri, _ROWS, _LANES) if tiled else (tri, _BLOCK_1D)
+    return pltpu.VMEM(shape, dtype)
 
 
 def _smem_spec(shape):
@@ -978,6 +1330,7 @@ def factorize_project_blocks(T0, T1, T2, phi, jitter: float,
             jax.ShapeDtypeStruct(shp(n, n), T2.dtype),
             jax.ShapeDtypeStruct(shp(2), T1.dtype),
         ],
+        scratch_shapes=[_l_scratch(m, tiled, T1.dtype)],
     )(
         _blockify(T0, total, tiled),
         _blockify(T1, total, tiled),
@@ -1018,9 +1371,12 @@ def project_blocks(chol, white, phi):
     return _unblock(mean, N), _unblock(col, N)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("jitter", "lam", "m", "n"))
+@functools.partial(
+    jax.jit, static_argnames=("jitter", "lam", "m", "n", "emit_factor")
+)
 def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
-                             prior=None, m: int = 0, n: int = 0):
+                             prior=None, m: int = 0, n: int = 0,
+                             emit_factor: bool = False):
     """:func:`factorize_project_blocks` over packed statistics.
 
     ``S (m*n + m(m+1)/2 + n(n+1)/2 + 1, N)`` (rows
@@ -1028,12 +1384,36 @@ def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
     ``(mean (n, N), col_scale (N,), row_scale (n, n, N), logdet_T1 (N,),
     logdet_Psi (N,))``. ONE input operand instead of three — the packed
     scan carry feeds the kernel without any split/relayout.
+
+    With ``emit_factor`` (tiled layout only, ``supported_factor(m)``) a
+    sixth output ``LW (m(m+1)/2 + m*n, N)`` carries the Cholesky factor
+    (row-major lower rows) and the whitened prior-mean for reuse by the
+    factor-consuming draw kernel.
     """
     rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     assert S.shape[0] == rows, (S.shape, rows)
     N = S.shape[-1]
     assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
+
+    has_prior = prior is not None
+    if _cs_layout(m):
+        assert not emit_factor, "emit_factor requires the tiled layout"
+        lb = _cs_lanes(rows, S.dtype)
+        if has_prior:
+            ppk = _cs_pack_prior(*prior, m, n, rows, S.dtype)
+        else:
+            ppk = jnp.zeros((rows, 1), S.dtype)
+        mean, col, row, ld = _cs_call(
+            functools.partial(
+                _cs_fp_kernel, m=m, n=n, jitter=jitter, lam=lam,
+                has_prior=has_prior,
+            ),
+            S, ppk, [(phi, m)], [n, 1, n * n, 2], rows=rows, lb=lb, N=N,
+        )
+        return mean, col[0], row.reshape(n, n, N), ld[0], ld[1]
+
     tiled = supported(m)
+    assert tiled or not emit_factor, "emit_factor requires m <= 24"
     block = _BLOCK if tiled else _BLOCK_1D
     total = -(-N // block) * block
     grid = (total // block,)
@@ -1043,7 +1423,6 @@ def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
             return (*lead, total // _LANES, _LANES)
         return (*lead, total)
 
-    has_prior = prior is not None
     if has_prior:
         p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
     else:
@@ -1053,9 +1432,28 @@ def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
         _smem_spec(p0.shape), _smem_spec(p1.shape), _smem_spec(p2.shape)
     ]
 
-    mean, col, row, ld = _pallas_call(
+    rows_lw = m * (m + 1) // 2 + m * n
+    kernel = _packed_fp_emit_kernel if emit_factor else _packed_fp_kernel
+    out_specs = [
+        _spec((n,), tiled), _spec((1,), tiled), _spec((n, n), tiled),
+        _spec((2,), tiled),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(shp(n), S.dtype),
+        jax.ShapeDtypeStruct(shp(1), S.dtype),
+        jax.ShapeDtypeStruct(shp(n, n), S.dtype),
+        jax.ShapeDtypeStruct(shp(2), S.dtype),
+    ]
+    if emit_factor:
+        out_specs.append(_spec((rows_lw,), tiled))
+        out_shape.append(jax.ShapeDtypeStruct(shp(rows_lw), S.dtype))
+        scratch = []
+    else:
+        scratch = [_l_scratch(m, tiled, S.dtype)]
+
+    outs = _pallas_call(
         functools.partial(
-            _packed_fp_kernel, m=m, n=n, jitter=jitter, lam=lam,
+            kernel, m=m, n=n, jitter=jitter, lam=lam,
             has_prior=has_prior,
         ),
         grid=grid,
@@ -1063,25 +1461,20 @@ def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
             _spec((rows,), tiled),
             *prior_specs, _spec((m,), tiled),
         ],
-        out_specs=[
-            _spec((n,), tiled), _spec((1,), tiled), _spec((n, n), tiled),
-            _spec((2,), tiled),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(shp(n), S.dtype),
-            jax.ShapeDtypeStruct(shp(1), S.dtype),
-            jax.ShapeDtypeStruct(shp(n, n), S.dtype),
-            jax.ShapeDtypeStruct(shp(2), S.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(
         _blockify(S, total, tiled),
         p0, p1, p2,
         _blockify(phi, total, tiled),
     )
-    mean = _unblock(mean, N, tiled)
-    col = _unblock(col, N, tiled)[0]
-    row = _unblock(row, N, tiled)
-    ld = _unblock(ld, N, tiled)
+    mean = _unblock(outs[0], N, tiled)
+    col = _unblock(outs[1], N, tiled)[0]
+    row = _unblock(outs[2], N, tiled)
+    ld = _unblock(outs[3], N, tiled)
+    if emit_factor:
+        return mean, col, row, ld[0], ld[1], _unblock(outs[4], N, tiled)
     return mean, col, row, ld[0], ld[1]
 
 
@@ -1108,6 +1501,24 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
     assert supported_small_out(m), (
         f"m={m} exceeds the fused draw-update budget"
     )
+
+    has_prior = prior is not None
+    if _cs_layout(m):
+        lb = _cs_lanes(rows, S.dtype)
+        if has_prior:
+            ppk = _cs_pack_prior(*prior, m, n, rows, S.dtype)
+        else:
+            ppk = jnp.zeros((rows, 1), S.dtype)
+        snew, y, ld = _cs_call(
+            functools.partial(
+                _cs_du_kernel, m=m, n=n, jitter=jitter, lam=lam,
+                p3=p3, has_prior=has_prior,
+            ),
+            S, ppk, [(phi, m), (u, n), (v, n)], [rows, n, 2],
+            rows=rows, lb=lb, N=N,
+        )
+        return snew, y, ld[0], ld[1]
+
     tiled = supported(m)
     block = _BLOCK if tiled else _BLOCK_1D
     total = -(-N // block) * block
@@ -1118,7 +1529,6 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
             return (*lead, total // _LANES, _LANES)
         return (*lead, total)
 
-    has_prior = prior is not None
     if has_prior:
         p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
     else:
@@ -1147,6 +1557,7 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
             jax.ShapeDtypeStruct(shp(n), S.dtype),
             jax.ShapeDtypeStruct(shp(2), S.dtype),
         ],
+        scratch_shapes=[_l_scratch(m, tiled, S.dtype)],
     )(
         _blockify(S, total, tiled),
         p0, p1, p2,
@@ -1170,6 +1581,23 @@ def log_base_measure_packed_logdets(S, jitter: float, prior=None,
     assert S.shape[0] == rows, (S.shape, rows)
     N = S.shape[-1]
     assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
+
+    has_prior = prior is not None
+    if _cs_layout(m):
+        lb = _cs_lanes(rows, S.dtype)
+        if has_prior:
+            ppk = _cs_pack_prior(*prior, m, n, rows, S.dtype)
+        else:
+            ppk = jnp.zeros((rows, 1), S.dtype)
+        (out,) = _cs_call(
+            functools.partial(
+                _cs_lbm_kernel, m=m, n=n, jitter=jitter,
+                has_prior=has_prior,
+            ),
+            S, ppk, [], [2], rows=rows, lb=lb, N=N,
+        )
+        return out[0], out[1]
+
     tiled = supported(m)
     block = _BLOCK if tiled else _BLOCK_1D
     total = -(-N // block) * block
@@ -1178,7 +1606,6 @@ def log_base_measure_packed_logdets(S, jitter: float, prior=None,
         (2, total // _LANES, _LANES) if tiled else (2, total)
     )
 
-    has_prior = prior is not None
     if has_prior:
         p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
     else:
@@ -1197,6 +1624,7 @@ def log_base_measure_packed_logdets(S, jitter: float, prior=None,
         in_specs=[_spec((rows,), tiled), *prior_specs],
         out_specs=_spec((2,), tiled),
         out_shape=jax.ShapeDtypeStruct(out_shape, S.dtype),
+        scratch_shapes=[_l_scratch(m, tiled, S.dtype)],
     )(_blockify(S, total, tiled), p0, p1, p2)
     out = _unblock(out, N, tiled)
     return out[0], out[1]
@@ -1238,6 +1666,7 @@ def log_base_measure_logdets(T0, T1, T2, jitter: float,
         in_specs=stat_specs,
         out_specs=_spec((2,), tiled),
         out_shape=jax.ShapeDtypeStruct(out_shape, T1.dtype),
+        scratch_shapes=[_l_scratch(m, tiled, T1.dtype)],
     )(
         _blockify(T0, total, tiled),
         _blockify(T1, total, tiled),
@@ -1245,3 +1674,509 @@ def log_base_measure_logdets(T0, T1, T2, jitter: float,
     )
     out = _unblock(out, N, tiled)
     return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# Column-on-sublanes ("cs") kernels.
+#
+# The tiled kernels above shape every per-particle scalar as a full
+# (8, 128) tile — 1024 particles per value, maximal VPU width per op, but
+# the unrolled Cholesky then holds m(m+1)/2 such values live (~210 vregs
+# at m = 20), far past the register file: Mosaic spills, and the kernel
+# runs ~5x over its HBM roofline (measured 380 us vs 74 us for the m = 20
+# draw/update at N = 32768 on v5e).
+#
+# The cs layout keeps particles on LANES ONLY and puts the MATRIX
+# DIMENSION on sublanes: a Cholesky column j is ONE (m-j, LB) value
+# (ceil((m-j)/8) vregs), the whole factor ~m^2/16 vregs (~27 at m = 20) —
+# no spills. Each FMA covers a full column, so the m^3/6 per-particle
+# flops cost ~sum_j j*ceil((m-j)/8) vector ops per 128 lanes (~34%
+# sublane-padding overhead) but execute straight out of registers. The
+# packed statistics store T1/T2 as COLUMN-major lower triangles (see
+# ``mniw._tri_pack_idx``), so A's column j is a CONTIGUOUS static
+# sublane slice of the packed block — no in-kernel relayout.
+# ---------------------------------------------------------------------------
+
+# The cs layout needs no m^2-sized values, so one VMEM budget covers all
+# kernels; lane-block width shrinks for tall (large-m) packed layouts.
+_MAX_M_CS = 48
+_CS_VMEM_PER_BUF = 2 * 1024 * 1024  # bytes; in + out + gather window +
+# the factor's column values all scale with (rows, LB), and the fused
+# gather kernel holds ~4 such footprints at once in ~16 MB VMEM
+
+
+def _cs_lanes(rows, dtype=jnp.float32):
+    """Lanes per cs grid step: widest power-of-two multiple of 128 whose
+    (rows, LB) block fits the per-buffer VMEM budget, capped at 1024."""
+    itemsize = jnp.dtype(dtype).itemsize
+    lb = 1024
+    while lb > 128 and rows * lb * itemsize > _CS_VMEM_PER_BUF:
+        lb //= 2
+    return lb
+
+
+def _cs_layout(m: int) -> bool:
+    """Whether the packed kernels should use the cs layout for this m.
+
+    Measured on v5e at N = 32768 (scan-dispatch microbench,
+    ``benchmarks/bench_kernels.py``):
+
+    - m = 20: cs loses everywhere (draw/update 731 us vs 378 us tiled;
+      fp 272 vs 135). The register-pressure win is real (no spills), but
+      every column op spans ``ceil((m-j)/8)`` sublane tiles with ~60%
+      padding waste plus shift ops for the misaligned slices/broadcasts —
+      more issued work than the tiled layout's VMEM spill traffic.
+    - m = 41 (above the tiled kernels' m <= 24 budget, where the
+      alternative is the 1-D (512,) layout + an XLA-gather round trip):
+      cs WINS the fused gather (2137 us vs 2985) and the log-base-measure
+      (397 vs 649) and ties draw/update (1784 vs 1811) and fp (416 vs
+      441).
+
+    Hence the default: cs above the tiled budget, tiled below.
+    ``BIPK_PALLAS_LAYOUT=tiled|cs`` forces one layout for A/B runs.
+    """
+    forced = os.environ.get("BIPK_PALLAS_LAYOUT")
+    if forced == "cs":
+        return True
+    if forced == "tiled":
+        return False
+    return m > _MAX_M
+
+
+def _cs_pack_prior(p0, p1, p2, m, n, rows, dtype):
+    """Pack the (small, unbatched) prior into one (rows, 1) column in the
+    packed-statistics row order. T1/T2 keep their raw LOWER entries (the
+    kernels only ever read the lower triangle, matching the tiled path's
+    ``p1_ref[i, j]`` reads); the T3 slot is zero (df offsets ride the
+    static ``p3`` kwarg)."""
+    li, _ = _np_tri_cm(m)
+    li2, _ = _np_tri_cm(n)
+    parts = [
+        jnp.asarray(p0, dtype).reshape(m * n),
+        jnp.asarray(p1, dtype).reshape(m * m)[li],
+        jnp.asarray(p2, dtype).reshape(n * n)[li2],
+        jnp.zeros((1,), dtype),
+    ]
+    return jnp.concatenate(parts)[:, None]
+
+
+def _np_tri_cm(m):
+    """Column-major lower-triangle flat indices (lower, upper)."""
+    import numpy as np
+
+    j, i = np.triu_indices(m)
+    return i * m + j, j * m + i
+
+
+def _cs_tri_cols(block, o, m):
+    """Contiguous column slices of a column-major packed lower triangle
+    living at row offset ``o`` of a (rows, LB) block value."""
+    cols, off = [], o
+    for j in range(m):
+        cols.append(block[off : off + (m - j)])
+        off += m - j
+    return cols
+
+
+def _cs_core(S, Ppk, phi, *, m, n, jitter, lam):
+    """Factorize + project on a (rows, LB) packed block value.
+
+    ``S`` the packed statistics block, ``Ppk`` the (rows, 1) packed prior
+    (or None), ``phi (m, LB)`` or None. Mirrors
+    :func:`_factorize_project_core`'s math (same accumulation order, so
+    per-particle results match the tiled kernels to rounding): factors
+    ``A = P1 + lam*sym(T1) (+jitter)``, forward-substitutes
+    ``white = L^{-1}(P0 + lam*T0)`` and ``v = L^{-1} phi``.
+
+    Returns ``(L, white, v, psi, mean, col, half_ld_t1, logdet_psi)``:
+    ``L`` the list of Cholesky columns ((m-j, LB), diagonal first),
+    ``white (m, n?)`` a list per output dim, ``psi`` an n x n list of
+    (1, LB) values, ``mean``/``col`` None when ``phi`` is None.
+    """
+    assert n <= 2, "cs kernels support n <= 2"
+    o1 = m * n
+    o2 = o1 + m * (m + 1) // 2
+
+    t1c = _cs_tri_cols(S, o1, m)
+    if Ppk is not None:
+        p1c = _cs_tri_cols(Ppk, o1, m)
+        acols = [
+            (t1c[j] * lam if lam != 1.0 else t1c[j]) + p1c[j]
+            for j in range(m)
+        ]
+    else:
+        acols = [t1c[j] * lam if lam != 1.0 else t1c[j] for j in range(m)]
+
+    if jitter:
+        trace = acols[0][0:1]
+        for j in range(1, m):
+            trace = trace + acols[j][0:1]
+        bump = (jitter / m) * trace
+        acols = [
+            jnp.concatenate([a[0:1] + bump, a[1:]], axis=0)
+            if a.shape[0] > 1
+            else a + bump
+            for a in acols
+        ]
+
+    # left-looking column Cholesky: column j gets one tail-FMA per
+    # previous column k (the scalar L[j,k] is a (1, LB) sublane slice)
+    L = []
+    for j in range(m):
+        acc = acols[j]
+        for k in range(j):
+            lk = L[k]
+            acc = acc - lk[j - k :] * lk[j - k : j - k + 1]
+        inv = jax.lax.rsqrt(acc[0:1])
+        L.append(acc * inv)
+
+    half_ld_t1 = jnp.log(L[0][0:1])
+    for j in range(1, m):
+        half_ld_t1 = half_ld_t1 + jnp.log(L[j][0:1])
+
+    def fsub(b):
+        """Column-sweep solve ``L x = b`` for ``b (m, LB)``; entry i is
+        accumulated k-ascending then divided by L[i,i], matching the
+        tiled kernels' order."""
+        outs = []
+        x = b
+        for k in range(m):
+            xk = x[0:1] / L[k][0:1]
+            outs.append(xk)
+            if k + 1 < m:
+                x = x[1:] - L[k][1:] * xk
+        return jnp.concatenate(outs, axis=0)
+
+    # rhs columns of T0 (+prior): rows are interleaved i*n + c (for the
+    # n = 2 case the column is assembled from (1, LB) slices — strided
+    # sublane reads are not relied on)
+    def t0_col(arr, c):
+        if n == 1:
+            return arr[0:o1]
+        return jnp.concatenate(
+            [arr[i * n + c : i * n + c + 1] for i in range(m)], axis=0
+        )
+
+    white = []
+    for c in range(n):
+        b = t0_col(S, c)
+        if lam != 1.0:
+            b = b * lam
+        if Ppk is not None:
+            b = b + t0_col(Ppk, c)
+        white.append(fsub(b))
+    v = fsub(phi) if phi is not None else None
+
+    def read_t2(a, b):
+        hi, lo = (a, b) if a >= b else (b, a)
+        r = o2 + lo * n - (lo * (lo - 1)) // 2 + hi - lo
+        x = S[r : r + 1]
+        if lam != 1.0:
+            x = x * lam
+        if Ppk is not None:
+            x = x + Ppk[r : r + 1]
+        return x
+
+    psi = [[None] * n for _ in range(n)]
+    for a in range(n):
+        for b in range(n):
+            psi[a][b] = read_t2(a, b) - jnp.sum(
+                white[a] * white[b], axis=0, keepdims=True
+            )
+    if n == 1:
+        logdet_psi = jnp.log(psi[0][0])
+    else:
+        off = 0.5 * (psi[0][1] + psi[1][0])
+        logdet_psi = jnp.log(psi[0][0] * psi[1][1] - off * off)
+
+    if phi is None:
+        return L, white, None, psi, None, None, half_ld_t1, logdet_psi
+
+    mean = [
+        jnp.sum(white[c] * v, axis=0, keepdims=True) for c in range(n)
+    ]
+    col = jnp.sum(v * v, axis=0, keepdims=True) + 1.0
+    return L, white, v, psi, mean, col, half_ld_t1, logdet_psi
+
+
+def _cs_draw(psi, mean, col, df_pred, u, v_unif, n):
+    """Matrix-t predictive draw on (1, LB)/(n, LB) values — the polar
+    Student-t + predictive scaling of ``_draw_update_packed_kernel``."""
+    two_pi = 6.283185307179586
+    t = []
+    for c in range(n):
+        uu = 1.0 - u[c : c + 1]
+        r = jnp.sqrt(
+            df_pred * (jnp.exp(-(2.0 / df_pred) * jnp.log(uu)) - 1.0)
+        )
+        t.append(r * jnp.cos(two_pi * v_unif[c : c + 1]))
+    inv_df = 1.0 / df_pred
+    if n == 1:
+        scaled = [jnp.sqrt(psi[0][0] * inv_df) * t[0]]
+    else:
+        r00 = psi[0][0] * inv_df
+        off = 0.5 * (psi[0][1] + psi[1][0]) * inv_df
+        r11 = psi[1][1] * inv_df
+        l00 = jnp.sqrt(r00)
+        l10 = off / l00
+        l11 = jnp.sqrt(r11 - l10 * l10)
+        scaled = [l00 * t[0], l10 * t[0] + l11 * t[1]]
+    sqrt_col = jnp.sqrt(col)
+    return [mean[c] + scaled[c] * sqrt_col for c in range(n)]
+
+
+def _cs_updated_stats(S, phi, y, *, m, n, lam):
+    """``lam*S + suff(y, phi)`` assembled as one (rows, LB) value (the
+    rank-1 outer products exist only as column slices in registers)."""
+    o1 = m * n
+    pieces = []
+    if n == 1:
+        pieces.append(S[0:o1] * lam + phi * y[0])
+    else:
+        for i in range(m):
+            for c in range(n):
+                pieces.append(
+                    S[i * n + c : i * n + c + 1] * lam
+                    + phi[i : i + 1] * y[c]
+                )
+    off = o1
+    for j in range(m):
+        pieces.append(
+            S[off : off + m - j] * lam + phi[j:] * phi[j : j + 1]
+        )
+        off += m - j
+    for b in range(n):
+        for a in range(b, n):
+            pieces.append(S[off : off + 1] * lam + y[a] * y[b])
+            off += 1
+    pieces.append(S[off : off + 1] * lam + 1.0)
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _cs_fp_kernel(
+    s_ref, ppk_ref, phi_ref, mean_ref, col_ref, row_ref, ld_ref,
+    *, m, n, jitter, lam, has_prior,
+):
+    """cs-layout :func:`_packed_fp_kernel`: blocks are (rows, LB)."""
+    Ppk = ppk_ref[:] if has_prior else None
+    _, _, _, psi, mean, col, half_ld, logdet_psi = _cs_core(
+        s_ref[:], Ppk, phi_ref[:], m=m, n=n, jitter=jitter, lam=lam
+    )
+    for a in range(n):
+        for b in range(n):
+            row_ref[a * n + b : a * n + b + 1] = psi[a][b]
+    for c in range(n):
+        mean_ref[c : c + 1] = mean[c]
+    col_ref[0:1] = col
+    ld_ref[0:1] = 2.0 * half_ld
+    ld_ref[1:2] = logdet_psi
+
+
+def _cs_lbm_kernel(
+    s_ref, ppk_ref, out_ref, *, m, n, jitter, has_prior
+):
+    """cs-layout :func:`_packed_lbm_kernel`."""
+    Ppk = ppk_ref[:] if has_prior else None
+    _, _, _, _, _, _, half_ld, logdet_psi = _cs_core(
+        s_ref[:], Ppk, None, m=m, n=n, jitter=jitter, lam=1.0
+    )
+    out_ref[0:1] = 2.0 * half_ld
+    out_ref[1:2] = logdet_psi
+
+
+def _cs_du_kernel(
+    s_ref, ppk_ref, phi_ref, u_ref, v_ref, snew_ref, y_ref, ld_ref,
+    *, m, n, jitter, lam, p3, has_prior,
+):
+    """cs-layout :func:`_draw_update_packed_kernel`."""
+    S = s_ref[:]
+    phi = phi_ref[:]
+    Ppk = ppk_ref[:] if has_prior else None
+    _, _, _, psi, mean, col, half_ld, logdet_psi = _cs_core(
+        S, Ppk, phi, m=m, n=n, jitter=jitter, lam=lam
+    )
+    o3 = m * n + m * (m + 1) // 2 + n * (n + 1) // 2
+    df_pred = S[o3 : o3 + 1] * lam + p3 + (1.0 - n)
+    y = _cs_draw(psi, mean, col, df_pred, u_ref[:], v_ref[:], n)
+    snew_ref[:] = _cs_updated_stats(S, phi, y, m=m, n=n, lam=lam)
+    for c in range(n):
+        y_ref[c : c + 1] = y[c]
+    ld_ref[0:1] = 2.0 * half_ld
+    ld_ref[1:2] = logdet_psi
+
+
+def _cs_gathered_block(s_win_ref, anc_ref, ws, rows, lb):
+    """Gather the ancestors' packed columns out of a lane-window into one
+    (rows, LB) value — the cs counterpart of
+    :func:`_windowed_gather_to_scratch` (same non-decreasing-ancestors
+    window logic, per 128-lane output tile)."""
+    tiles = []
+    for tau in range(lb // 128):
+        a_lo = anc_ref[0, tau * 128]
+        a_hi = anc_ref[0, tau * 128 + 127]
+        t_lo = jax.lax.shift_right_logical(a_lo, jnp.int32(7))
+        t_hi = jax.lax.shift_right_logical(a_hi, jnp.int32(7))
+        rel = jnp.broadcast_to(
+            anc_ref[0, tau * 128 : (tau + 1) * 128].reshape(1, 128) - ws,
+            (rows, 128),
+        )
+
+        def round_body(k, acc, _t_lo=t_lo, _rel=rel):
+            off = pl.multiple_of(((_t_lo - ws // 128) + k) * 128, 128)
+            src = s_win_ref[:, pl.ds(off, 128)]
+            idx = _rel - off
+            take = jnp.take_along_axis(src, jnp.clip(idx, 0, 127), axis=1)
+            return jnp.where((idx >= 0) & (idx < 128), take, acc)
+
+        out0 = jnp.zeros((rows, 128), s_win_ref.dtype)
+        tiles.append(
+            jax.lax.fori_loop(0, t_hi - t_lo + 1, round_body, out0)
+        )
+    return jnp.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0]
+
+
+def _cs_du_gather_kernel(
+    w_ref, s_win_ref, anc_ref, ppk_ref, phi_ref, u_ref, v_ref,
+    snew_ref, y_ref, ld_ref,
+    *, m, n, jitter, lam, p3, has_prior, rows, lb,
+):
+    """cs-layout :func:`_draw_update_gather_kernel`: the resampling gather
+    lands directly in a register/VMEM VALUE feeding the factorization."""
+    ws = w_ref[pl.program_id(0)] * 128
+    S = _cs_gathered_block(s_win_ref, anc_ref, ws, rows, lb)
+    phi = phi_ref[:]
+    Ppk = ppk_ref[:] if has_prior else None
+    _, _, _, psi, mean, col, half_ld, logdet_psi = _cs_core(
+        S, Ppk, phi, m=m, n=n, jitter=jitter, lam=lam
+    )
+    o3 = m * n + m * (m + 1) // 2 + n * (n + 1) // 2
+    df_pred = S[o3 : o3 + 1] * lam + p3 + (1.0 - n)
+    y = _cs_draw(psi, mean, col, df_pred, u_ref[:], v_ref[:], n)
+    snew_ref[:] = _cs_updated_stats(S, phi, y, m=m, n=n, lam=lam)
+    for c in range(n):
+        y_ref[c : c + 1] = y[c]
+    ld_ref[0:1] = 2.0 * half_ld
+    ld_ref[1:2] = logdet_psi
+
+
+def _cs_spec(lead_rows, lb):
+    return pl.BlockSpec(
+        (lead_rows, lb), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+
+def _cs_prior_spec(rows):
+    return pl.BlockSpec(
+        (rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _cs_call(kernel, S, ppk, extras, out_rows, *, rows, lb, N):
+    """Shared pallas_call plumbing for the cs packed kernels.
+
+    ``extras`` = [(array (k, N), k), ...] extra lane-sharded inputs;
+    ``out_rows`` = [r0, r1, ...] row counts of the (r, N) outputs.
+    """
+    total = -(-N // lb) * lb
+    grid = (total // lb,)
+    outs = _pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            _cs_spec(rows, lb),
+            _cs_prior_spec(rows),
+            *[_cs_spec(k, lb) for _, k in extras],
+        ],
+        out_specs=[_cs_spec(r, lb) for r in out_rows],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, total), S.dtype) for r in out_rows
+        ],
+    )(
+        _pad_last(S, total),
+        ppk,
+        *[_pad_last(a, total) for a, _ in extras],
+    )
+    return [o[:, :N] for o in outs]
+
+
+def _cs_du_gather_call(
+    S, ancestors, w, phi, u, v, jitter, lam, prior, p3, m, n,
+    *, rows, block, wt, total_in,
+):
+    """cs-layout launch of the fused gather + draw/update kernel (see
+    :func:`draw_update_gather_packed_blocks` for the contract; ``block``
+    and ``wt`` come from :func:`gather_plan`, shared with the mniw
+    dispatch that computed ``w``)."""
+    n_in = S.shape[-1]
+    N = ancestors.shape[-1]
+    total = -(-N // block) * block
+    grid = (total // block,)
+    win = wt * _LANES
+
+    has_prior = prior is not None
+    if has_prior:
+        ppk = _cs_pack_prior(*prior, m, n, rows, S.dtype)
+    else:
+        ppk = jnp.zeros((rows, 1), S.dtype)
+
+    anc = ancestors.astype(jnp.int32)
+    if total != N:
+        anc = jnp.pad(anc, (0, total - N), constant_values=n_in - 1)
+    S_pad = _pad_last(S, total_in)
+
+    if win == total_in:
+        s_spec = pl.BlockSpec(
+            (rows, total_in), lambda i, w_ref: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        from jax._src.pallas import core as pallas_core
+
+        s_spec = pl.BlockSpec(
+            (pallas_core.Element(rows), pallas_core.Element(win)),
+            lambda i, w_ref: (0, pl.multiple_of(w_ref[i] * _LANES, _LANES)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def lspec(k):
+        return pl.BlockSpec(
+            (k, block), lambda i, w_ref: (0, i), memory_space=pltpu.VMEM
+        )
+
+    # (1, total) layout: a 1-D s32 operand's XLA tiling (T(1024)) clashes
+    # with sub-1024 Mosaic blocks; the 2-D (1, block) form is always legal
+    anc_spec = pl.BlockSpec(
+        (1, block), lambda i, w_ref: (0, i), memory_space=pltpu.VMEM
+    )
+    ppk_spec = pl.BlockSpec(
+        (rows, 1), lambda i, w_ref: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[s_spec, anc_spec, ppk_spec, lspec(m), lspec(n), lspec(n)],
+        out_specs=[lspec(rows), lspec(n), lspec(2)],
+    )
+
+    snew, y, ld = _pallas_call(
+        functools.partial(
+            _cs_du_gather_kernel, m=m, n=n, jitter=jitter, lam=lam,
+            p3=p3, has_prior=has_prior, rows=rows, lb=block,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, total), S.dtype),
+            jax.ShapeDtypeStruct((n, total), S.dtype),
+            jax.ShapeDtypeStruct((2, total), S.dtype),
+        ],
+    )(
+        w,
+        S_pad,
+        anc[None, :],
+        ppk,
+        _pad_last(phi, total),
+        _pad_last(u, total),
+        _pad_last(v, total),
+    )
+    return snew[:, :N], y[:, :N], ld[0, :N], ld[1, :N]

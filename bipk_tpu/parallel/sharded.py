@@ -170,10 +170,12 @@ def build_sharded_apf(
             jax.random.fold_in(key_draws, shard)
         )
 
-        aux_state, aux_iv, lw_aux, ll_aux, _ = (
-            kern.auxiliary_fused_packed(
+        aux_state, aux_iv, lw_aux, ll_aux, _, lws = (
+            kern.auxiliary_fused_packed_f(
                 Ss, forgetting_factor, state, int_vars, inp_prev,
                 inp_cur, obs, log_weights,
+                emit_factor=(resampling_scheme != "exact"
+                             and kern.reuse_factor),
             )
         )
 
@@ -221,7 +223,7 @@ def build_sharded_apf(
             Ss_new, new_iv, new_basis, _ = (
                 kern.draw_update_gather_all_packed(
                     key_iv, Ss, ancestors, forgetting_factor,
-                    new_state, inp_cur,
+                    new_state, inp_cur, factors=lws,
                 )
             )
 

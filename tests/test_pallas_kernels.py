@@ -257,3 +257,48 @@ def test_draw_update_gather_window_overflow_falls_back():
     )
     np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
     np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
+
+
+@pytest.mark.parametrize("m,n", [(20, 1), (9, 1), (6, 2)])
+def test_factor_reuse_draw_matches_refactorize(m, n):
+    """The factor-consuming gather/draw kernel (factor emitted by the
+    auxiliary kernel) is BITWISE identical to the refactorizing fused
+    gather kernel: the auxiliary kernel ran the same panel-blocked
+    Cholesky + substitution on the same inputs, so reusing L/white changes
+    no arithmetic."""
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    S, prior = _accumulated_packed(m, n)
+    if not pk.supported_factor(m):
+        pytest.skip("factor pair needs the tiled layout")
+    anc = _sorted_ancestors(S.shape[-1], S.shape[-1], seed=23)
+    N = anc.shape[0]
+    phi_aux = jax.random.normal(jax.random.key(29), (m, N), jnp.float32)
+    phi = jax.random.normal(jax.random.key(31), (m, N), jnp.float32)
+    key = jax.random.key(37)
+    args = dict(prior=prior, lam=0.999, m=m, n=n)
+
+    fp, lw = mniw.factorize_project_packed_bl(
+        S, phi_aux, use_pallas=True, emit_factor=True, **args
+    )
+    assert lw is not None and lw.shape == (m * (m + 1) // 2 + m * n, N)
+
+    Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
+        key, S, anc, phi, use_pallas=True, factor=lw, **args
+    )
+    Sr, yr, l1r, lpr = mniw.draw_update_gather_packed_bl(
+        key, S, anc, phi, use_pallas=True, **args
+    )
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
+    np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
+    np.testing.assert_array_equal(np.asarray(l1f), np.asarray(l1r))
+    np.testing.assert_array_equal(np.asarray(lpf), np.asarray(lpr))
+
+    # the emitting auxiliary kernel's small outputs match the plain one
+    fp0 = mniw.factorize_project_packed_bl(
+        S, phi_aux, use_pallas=True, **args
+    )
+    np.testing.assert_array_equal(np.asarray(fp.mean), np.asarray(fp0.mean))
+    np.testing.assert_array_equal(
+        np.asarray(fp.logdet_T1), np.asarray(fp0.logdet_T1)
+    )
