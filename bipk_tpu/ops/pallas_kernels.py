@@ -158,14 +158,16 @@ def _chol_cols(read_a, m):
 # O(m^3/6) to O(m^3/(2*panel)) loads. Arithmetic order is identical to
 # `_chol_cols` (same k-ascending accumulation), so results are bitwise
 # the same.
-_CHOL_PANEL = 4
+_CHOL_PANEL = int(os.environ.get("BIPK_CHOL_PANEL", "4"))
 
 
-def _chol_scratch(read_a, m, l_ref, panel=_CHOL_PANEL):
+def _chol_scratch(read_a, m, l_ref, panel=None):
     """Panel-blocked unrolled Cholesky into a packed lower-triangular VMEM
     scratch: ``l_ref[i*(i+1)//2 + j] = L[i][j]``. Returns the SSA diagonal
     entries ``[L[0][0], ..., L[m-1][m-1]]`` (so the log-determinant and
     the solves' divisions don't re-read the scratch)."""
+    if panel is None:
+        panel = _CHOL_PANEL
     diag = []
     for jb in range(0, m, panel):
         hi = min(jb + panel, m)
