@@ -47,9 +47,11 @@ def main():
                 apf.build_apf(model.ssm, model.gps, N, 0.999, dtype=jnp.float32)
             )
             out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
-            rt = time.perf_counter() - t0
+            rt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(run(key, Y, inputs, x0, p0))
+                rt = min(rt, time.perf_counter() - t0)
             print(
                 f"{name}: {rt/(T-1)*1e3:.2f} ms/step "
                 f"({N*(T-1)/rt/1e6:.2f}M psps)",
@@ -69,7 +71,8 @@ def main():
 
     # round-2 path: separate XLA statistics gather feeding the no-gather
     # draw/update kernel (isolates the benefit of the in-kernel gather)
-    def separate_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur):
+    def separate_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur,
+                           factors=None):
         Ss_g = self.gather_packed(Ss, ancestors, sorted_indices=True)
         return self.draw_update_all_packed(key, Ss_g, lam, new_state, inp_cur)
 
@@ -80,7 +83,8 @@ def main():
 
     # all resampling gathers removed (keeps the resampler compute): the
     # statistics skip their in-kernel gather, small payloads skip XLA's
-    def no_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur):
+    def no_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur,
+                     factors=None):
         return self.draw_update_all_packed(key, Ss, lam, new_state, inp_cur)
 
     def identity_gather(tree, idx):
@@ -114,7 +118,8 @@ def main():
     # fused gather+draw+update kernel replaced by a carry passthrough +
     # cheap draw (no gather, no factorization, no statistics update)
     def cheap_draw_update(key, S, ancestors, phi, prior=None, lam=1.0,
-                          m=0, n=0, jitter=None, use_pallas=None):
+                          m=0, n=0, jitter=None, use_pallas=None,
+                          factor=None):
         Np = ancestors.shape[-1]
         y = jax.random.normal(key, (n, Np), S.dtype)
         zeros = jnp.zeros((Np,), S.dtype)

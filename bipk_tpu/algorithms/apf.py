@@ -545,9 +545,16 @@ def build_apf(
     init_state_cov) -> APFResult``. Shapes: ``observations (T, dy)``,
     ``inputs (T, du)`` (``du`` may be 0). With ``mesh`` the particle axis
     is sharding-constrained over it and XLA's SPMD partitioner distributes
-    the sweep (exact single-chip semantics, automatic collectives; the
-    hand-written shard_map path in ``bipk_tpu.parallel`` trades exactness
-    of the resampling scheme for lower communication).
+    the sweep (exact single-chip semantics, automatic collectives).
+
+    ``mesh`` is a validation path, not a production one: ``pallas_call``
+    cannot be partitioned by the SPMD partitioner, so a multi-device mesh
+    diverts every fused kernel to the XLA fallbacks — measured **27x**
+    slower per chip (24.53M vs 0.90M particle-steps/s, v5e-1, N=32768;
+    ``benchmarks/bench_gspmd_cliff.py``). Production multi-chip runs use
+    the shard_map paths in ``bipk_tpu.parallel`` (fused kernels per shard,
+    ``resampling_scheme="exact"`` for bit-level global-resampling parity),
+    which the entry scripts' ``--mesh N`` flag already selects.
     """
     kern = APFKernel(ssm, gps, dtype, mesh=mesh)
     n_gp = kern.n_gp
