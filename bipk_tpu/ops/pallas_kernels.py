@@ -33,8 +33,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_ROWS = 8  # f32 sublane count: values are full (8, 128) tiles
-_BLOCK = _ROWS * _LANES  # 1024 particles per kernel instance
+# f32 sublane count: values are full (8, 128) tiles by default. Wider
+# values (16/32 sublanes) decompose into INDEPENDENT per-(8, 128) hardware
+# ops, so the serial Cholesky dependency chain of one sub-tile overlaps
+# the VPU pipeline latency of another — the draw/update kernel is
+# compute-bound on exactly that chain (352 us vs a 74 us HBM bound at
+# m = 20, docs/DESIGN.md round-3 roofline).
+_ROWS = int(os.environ.get("BIPK_ROWS", "8"))
+_BLOCK = _ROWS * _LANES  # particles per kernel instance
 _BLOCK_1D = 512  # particles per instance in the 1-D fallback layout
 # (m, m, 8, 128) in + out blocks + live temporaries must fit ~16 MB VMEM
 # with double buffering; m = 24 peaks around 12 MB.
@@ -765,7 +771,7 @@ def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
     of an HBM round-trip through XLA's gather (measured 0.51 ms/step of
     1.45 at N = 32768 on v5e).
     """
-    for tau in range(8):
+    for tau in range(_ROWS):
         a_lo = anc_ref[tau, 0]
         a_hi = anc_ref[tau, 127]
         t_lo = jax.lax.shift_right_logical(a_lo, jnp.int32(7))
@@ -2182,3 +2188,204 @@ def _cs_du_gather_call(
         _pad_last(v, total),
     )
     return snew[:, :N], y[:, :N], ld[0, :N], ld[1, :N]
+
+
+# ---------------------------------------------------------------------------
+# Fused systematic resampling (SURVEY build order #8).
+#
+# Semantics: ``resampling.systematic`` — the closed-form-offspring
+# formulation of ``systematic_SISR`` (/root/reference/src/Filtering.py:6-37).
+# The XLA path costs ~305 us/call at N = 32768 on v5e (measured, scan
+# marginal): the scatter-add serializes and the cumulative sums are
+# multi-kernel. Two Pallas calls replace it, everything VMEM-resident:
+#
+#   1. ``_systematic_cdf_kernel``: normalize + cumulative weight sum via
+#      MXU matmuls against triangular 0/1 masks (lane-prefix
+#      (R,128)@(128,128), then row offsets (R,R)@(R,1)), then cumulative
+#      offspring counts ``cc_i = clip(ceil(n*cdf_i - u), 0, n)``.
+#   2. ``_systematic_merge_kernel``: counts -> sorted ancestors WITHOUT a
+#      scatter or a searchsorted. ``anc[k] = #{i : cc_i <= k}``, and
+#      because the output grid is arithmetic, a source value's position
+#      against output block o is closed-form: ``p = clip(cc - 128*o, 0,
+#      128)``, so the per-(source row, output block) count is one MXU
+#      vector transpose + one (128,128) broadcast compare + one MXU
+#      ones-contraction. A two-pointer merge over (row, block) pairs
+#      runs in a STATIC 2R-trip fori (dynamic-trip loops cost ~0.65 us
+#      per round in Mosaic — measured), with the tile-end values read as
+#      scalars from the prefetched SMEM operand.
+# ---------------------------------------------------------------------------
+
+# VMEM budget for the whole-population resampling kernel: weights + cc +
+# ancestors, each (R, 128) = N * 4 B, plus the (R, R) offset mask.
+_RESAMPLE_MAX_N = 131072
+_BLOCK8 = 8 * _LANES
+
+
+def supported_resample(n: int) -> bool:
+    """Whether the fused resampling kernel handles this population size
+    (whole population + (R, R) prefix mask must sit in VMEM)."""
+    return 256 <= n <= _RESAMPLE_MAX_N
+
+
+def _systematic_cdf_kernel(w_ref, u_ref, cc_ref, *, n, rows):
+    """Stage 1: weights -> cumulative offspring counts (int32)."""
+    f32 = jnp.float32
+    lanes = _LANES
+    w = jnp.maximum(w_ref[...], 0.0)
+    total = jnp.sum(w)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    flat_i = row_i * lanes + lane_i
+    uniform = jnp.where(flat_i < n, 1.0 / n, 0.0).astype(f32)
+    wn = jnp.where(total > 0, w / total, uniform)
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+    tri_incl = (li <= lj).astype(f32)  # [l', l] = 1 iff l' <= l
+    c_in_row = jax.lax.dot_general(
+        wn, tri_incl, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rs = c_in_row[:, lanes - 1 : lanes]  # (R, 1) row sums
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    tri_strict = (rj < ri).astype(f32)  # [r, r'] = 1 iff r' < r
+    off = jax.lax.dot_general(
+        tri_strict, rs, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cdf = c_in_row + off
+
+    u = u_ref[0, 0]
+    cc = jnp.clip(jnp.ceil(n * cdf - u), 0.0, float(n))
+    cc_ref[...] = cc.astype(jnp.int32)
+
+
+def _systematic_merge_kernel(te_ref, cc_ref, anc_ref, *, n, rows):
+    """Stage 2: sorted cumulative counts -> sorted ancestors.
+
+    ``te_ref (rows,)`` prefetched SMEM tile-end values with the LAST
+    entry forced to ``rows*128`` (so the row pointer never runs off the
+    end); ``cc_ref (rows, 128)`` int32 cumulative counts.
+    """
+    lanes = _LANES
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+    eye_i = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    eye_j = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+    eye_f = (eye_i == eye_j).astype(jnp.float32)
+    ones_row = (eye_i >= 0).astype(jnp.float32)[:1]  # (1, 128) of ones
+
+    def step(_, carry):
+        r, o, r0, acc, buf = carry
+        active = o < rows
+        r_c = jnp.minimum(r, rows - 1)
+        te_r = te_ref[r_c]
+        block_end = o * lanes + lanes - 1
+
+        # count[l] = #{j : cc[r, j] <= 128*o + l} via the closed-form
+        # position p = clip(cc[r] - 128*o, 0, 128): transpose p to
+        # sublanes (MXU identity contraction), broadcast-compare against
+        # the lane iota, contract the 128 j-sublanes with a ones row.
+        base = (r_c // 8) * 8
+        blk = cc_ref[pl.ds(pl.multiple_of(base, 8), 8), :]
+        v_row = jnp.sum(
+            jnp.where(sub_i == r_c - base, blk, 0), axis=0, keepdims=True
+        )  # (1, 128)
+        p = jnp.clip(v_row - o * lanes, 0, lanes).astype(jnp.float32)
+        p_col = jax.lax.dot_general(
+            eye_f, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (128, 1)
+        m = (p_col <= iota_lane.astype(jnp.float32)).astype(jnp.float32)
+        cnt = jax.lax.dot_general(
+            ones_row, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (1, 128)
+        acc = acc + jnp.where(active, cnt.astype(jnp.int32), 0)
+
+        adv_block = (te_r > block_end) & active
+        # on block advance: bank the finished row of ancestors into the
+        # (8, 128) buffer; flush the buffer on every 8th block
+        anc_row = jnp.clip(acc + r0 * lanes, 0, n - 1)
+        buf = jnp.where(
+            adv_block & (sub_i == o % 8), jnp.broadcast_to(anc_row, (8, lanes)), buf
+        )
+
+        @pl.when(adv_block & (o % 8 == 7))
+        def _flush():
+            anc_ref[pl.ds(pl.multiple_of((o // 8) * 8, 8), 8), :] = buf
+
+        r_next = jnp.where(adv_block, r, r + 1)
+        o_next = jnp.where(adv_block, o + 1, o)
+        r0_next = jnp.where(adv_block, r, r0)
+        acc_next = jnp.where(adv_block, 0, acc)
+        return r_next, o_next, r0_next, acc_next, buf
+
+    z = jnp.zeros((8, lanes), jnp.int32)
+    jax.lax.fori_loop(
+        0, 2 * rows,
+        step,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), z[:1], z),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def systematic_ancestors_blocks(w, u, n: int):
+    """Sorted systematic-resampling ancestors, fused in two Pallas calls.
+
+    ``w (n,)`` unnormalized non-log weights, ``u`` scalar uniform in
+    [0, 1); returns ``(n,)`` sorted int32 ancestors. Parity with the XLA
+    ``resampling.systematic`` except where the matmul-prefix CDF rounds
+    differently at exact grid/CDF ties (offspring shift by at most one
+    output slot)."""
+    assert supported_resample(n), n
+    # pad to a whole number of (8, 128) tiles: every dynamic sublane
+    # slice and output write in the kernels is then tile-aligned
+    total = -(-n // _BLOCK8) * _BLOCK8
+    rows = total // _LANES
+    w_pad = jnp.pad(w.astype(jnp.float32), (0, total - n))
+    w2 = w_pad.reshape(rows, _LANES)
+    u2 = jnp.asarray(u, jnp.float32).reshape(1, 1)
+
+    cc = _pallas_call(
+        functools.partial(_systematic_cdf_kernel, n=n, rows=rows),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((rows, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+    )(w2, u2)
+
+    # tile ends as the merge kernel's scalar operand; the last entry is
+    # forced past the final block so the row pointer never outruns the
+    # block pointer
+    te = jnp.where(
+        jnp.arange(rows) == rows - 1, total, cc[:, _LANES - 1]
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((rows, _LANES), lambda i, te_ref: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, _LANES), lambda i, te_ref: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    anc = _pallas_call(
+        functools.partial(_systematic_merge_kernel, n=n, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+    )(te, cc)
+    return anc.reshape(total)[:n]

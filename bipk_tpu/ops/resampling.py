@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from bipk_tpu.ops import pallas_kernels as pk
+
 
 def normalize_weights(weights: jax.Array) -> jax.Array:
     """Clip to non-negative and normalize; uniform fallback on zero mass.
@@ -39,6 +41,12 @@ def systematic(key: jax.Array, weights: jax.Array) -> jax.Array:
     n = weights.shape[-1]
     w = normalize_weights(weights)
     u = jax.random.uniform(key, dtype=w.dtype)
+    if pk.enabled() and pk.supported_resample(n) and weights.ndim == 1:
+        # whole-population fused kernel: MXU-matmul prefix sums + a
+        # scatterless counts->ancestors merge (~305 us -> ~40 us at
+        # N = 32768 on v5e); same closed-form-offspring semantics, CDF
+        # rounding may differ at exact ties by one output slot
+        return pk.systematic_ancestors_blocks(w, u, n)
     cdf = jnp.cumsum(w, axis=-1)
     # grid points are (u + k)/n; input i owns those with (u+k)/n < cdf_i,
     # i.e. k < n*cdf_i - u  =>  cumulative count ceil(n*cdf_i - u)

@@ -129,3 +129,55 @@ def test_systematic_degenerate_mass_at_start():
     w = jnp.zeros(64).at[0].set(1.0)
     idx = resampling.systematic(jax.random.key(0), w)
     np.testing.assert_array_equal(np.asarray(idx), 0)
+
+
+def test_systematic_pallas_kernel_matches_xla():
+    """The fused Pallas ancestors (interpret mode on CPU) match the XLA
+    closed-form-offspring path up to CDF-rounding ties: sorted output,
+    per-input offspring counts within 1, >98% identical slots."""
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    if not pk.enabled():
+        import pytest
+
+        pytest.skip("pallas kernels disabled")
+    for n in (256, 300, 1024, 4096):
+        for seed in range(3):
+            ka, kb = jax.random.split(jax.random.key(seed * 11 + 1))
+            conc = [2.0, 8.0, 0.1][seed]
+            w = jax.nn.softmax(jax.random.normal(ka, (n,)) * conc)
+            u = jax.random.uniform(kb, dtype=jnp.float32)
+            got = np.asarray(pk.systematic_ancestors_blocks(w, u, n))
+            # f64 exact reference for the same (w, u)
+            wd = np.asarray(w, np.float64)
+            cdf = np.cumsum(wd / wd.sum())
+            cc = np.clip(np.ceil(n * cdf - float(u)).astype(np.int64), 0, n)
+            want = np.clip(
+                np.searchsorted(cc, np.arange(n), side="right"), 0, n - 1
+            )
+            assert np.all(np.diff(got) >= 0), (n, seed)
+            assert got.shape == (n,) and got.dtype == np.int32
+            cg = np.bincount(got, minlength=n)
+            cw = np.bincount(want, minlength=n)
+            assert np.abs(cg - cw).max() <= 1, (n, seed)
+            assert np.mean(got != want) < 0.02, (n, seed)
+
+
+def test_systematic_pallas_degenerate():
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    if not pk.enabled():
+        import pytest
+
+        pytest.skip("pallas kernels disabled")
+    n = 512
+    w = jnp.zeros(n).at[n - 1].set(1.0)
+    got = np.asarray(
+        pk.systematic_ancestors_blocks(w, jnp.float32(0.37), n)
+    )
+    np.testing.assert_array_equal(got, n - 1)
+    w0 = jnp.zeros(n).at[0].set(1.0)
+    got0 = np.asarray(
+        pk.systematic_ancestors_blocks(w0, jnp.float32(0.37), n)
+    )
+    np.testing.assert_array_equal(got0, 0)
