@@ -770,6 +770,14 @@ def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
     tile, typically 1-3) tall (rows, 128) gathers per output tile instead
     of an HBM round-trip through XLA's gather (measured 0.51 ms/step of
     1.45 at N = 32768 on v5e).
+
+    The first ``_GATHER_STATIC_ROUNDS`` rounds are STATICALLY unrolled
+    (masked no-ops when the span is smaller): a dynamic-trip ``fori``
+    costs ~0.65 us/round of loop overhead in Mosaic AND serializes the
+    eight per-tile gathers against each other, where the unrolled rounds
+    issue as one wide independent stream. Spans beyond the static budget
+    (rare: one output tile's ancestors covering > 3 source tiles) divert
+    to a conditional dynamic tail loop.
     """
     for tau in range(_ROWS):
         a_lo = anc_ref[tau, 0]
@@ -780,11 +788,18 @@ def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
         anc_row = anc_ref[tau, :].reshape(1, 128) - ws
         rel = jnp.broadcast_to(anc_row, (rows, 128))
 
+        win_lanes = s_win_ref.shape[1]
+
         def round_body(k, acc, _t_lo=t_lo, _rel=rel):
             # window-relative lane offset of source tile t_lo + k, written
-            # as an explicit x128 product so Mosaic can prove alignment
+            # as an explicit x128 product so Mosaic can prove alignment;
+            # clamped to the window so masked no-op rounds (k beyond the
+            # span) never read past the buffer
             off = pl.multiple_of(
-                ((_t_lo - ws // 128) + k) * 128, 128
+                jnp.minimum(
+                    ((_t_lo - ws // 128) + k) * 128, win_lanes - 128
+                ),
+                128,
             )
             src = s_win_ref[:, pl.ds(off, 128)]
             idx = _rel - off  # lane index within the source tile
@@ -793,9 +808,19 @@ def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
             )
             return jnp.where((idx >= 0) & (idx < 128), take, acc)
 
-        out0 = jnp.zeros((rows, 128), s_win_ref.dtype)
-        out = jax.lax.fori_loop(0, t_hi - t_lo + 1, round_body, out0)
+        out = jnp.zeros((rows, 128), s_win_ref.dtype)
+        for k in range(_GATHER_STATIC_ROUNDS):
+            out = round_body(k, out)
+        span = t_hi - t_lo + 1
         scratch_ref[:, tau, :] = out
+
+        @pl.when(span > _GATHER_STATIC_ROUNDS)
+        def _tail(_tau=tau, _span=span, _round=round_body):
+            cur = scratch_ref[:, _tau, :]
+            cur = jax.lax.fori_loop(
+                _GATHER_STATIC_ROUNDS, _span, _round, cur
+            )
+            scratch_ref[:, _tau, :] = cur
 
 
 def _draw_update_gather_kernel(
@@ -885,6 +910,9 @@ def _draw_update_gather_kernel(
 # zero-offspring particles inside one block) take the exact XLA-gather
 # fallback via lax.cond in mniw.draw_update_packed_bl.
 _GATHER_WINDOW_TILES = 16
+# statically-unrolled gather rounds per output tile (see
+# _windowed_gather_to_scratch); spans beyond this take a dynamic tail
+_GATHER_STATIC_ROUNDS = int(os.environ.get("BIPK_GATHER_STATIC", "2"))
 
 
 def window_starts(
@@ -2029,16 +2057,30 @@ def _cs_gathered_block(s_win_ref, anc_ref, ws, rows, lb):
             (rows, 128),
         )
 
+        win_lanes = s_win_ref.shape[1]
+
         def round_body(k, acc, _t_lo=t_lo, _rel=rel):
-            off = pl.multiple_of(((_t_lo - ws // 128) + k) * 128, 128)
+            off = pl.multiple_of(
+                jnp.minimum(
+                    ((_t_lo - ws // 128) + k) * 128, win_lanes - 128
+                ),
+                128,
+            )
             src = s_win_ref[:, pl.ds(off, 128)]
             idx = _rel - off
             take = jnp.take_along_axis(src, jnp.clip(idx, 0, 127), axis=1)
             return jnp.where((idx >= 0) & (idx < 128), take, acc)
 
+        # static common-case rounds (masked no-ops beyond the span; any
+        # in-window read of a valid idx returns the true ancestor column,
+        # so extra rounds are idempotent); dynamic tail is usually 0-trip
         out0 = jnp.zeros((rows, 128), s_win_ref.dtype)
+        for k in range(_GATHER_STATIC_ROUNDS):
+            out0 = round_body(k, out0)
         tiles.append(
-            jax.lax.fori_loop(0, t_hi - t_lo + 1, round_body, out0)
+            jax.lax.fori_loop(
+                _GATHER_STATIC_ROUNDS, t_hi - t_lo + 1, round_body, out0
+            )
         )
     return jnp.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0]
 
