@@ -87,6 +87,10 @@ def main():
     # draw/update kernel (isolates the benefit of the in-kernel gather)
     def separate_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur,
                            factors=None):
+        # the stubs drop emitted factors; with BIPK_REUSE_FACTOR=1 the
+        # 'full' row would reuse factors while these rows silently
+        # refactorize, skewing the attribution
+        assert factors is None, "run the ablation with BIPK_REUSE_FACTOR unset"
         Ss_g = self.gather_packed(Ss, ancestors, sorted_indices=True)
         return self.draw_update_all_packed(key, Ss_g, lam, new_state, inp_cur)
 
@@ -99,6 +103,7 @@ def main():
     # statistics skip their in-kernel gather, small payloads skip XLA's
     def no_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur,
                      factors=None):
+        assert factors is None, "run the ablation with BIPK_REUSE_FACTOR unset"
         return self.draw_update_all_packed(key, Ss, lam, new_state, inp_cur)
 
     def identity_gather(tree, idx):

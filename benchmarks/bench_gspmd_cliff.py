@@ -11,11 +11,14 @@ This benchmark measures that per-chip kernel cliff directly on one TPU
 chip: the same vehicle APF sweep with the fused Pallas kernels (what the
 shard_map path executes per shard) vs with ``BIPK_DISABLE_PALLAS=1``
 (the XLA fallback kernels that the multi-device GSPMD path executes).
-Each configuration runs in a child process because the toggle is read at
-import time.
+Each configuration runs in a child process (the BIPK_DISABLE_PALLAS
+toggle is read at trace time, and a fresh process also avoids any cached
+jit state leaking between configurations).
 
 Measured (v5e-1, N=32768, T=1500, f32): fused 24.53M particle-steps/s/chip
-vs XLA-fallback 0.90M — a **27x cliff**. Conclusion recorded in
+vs XLA-fallback 0.90M — a **27x cliff**. This single-chip Pallas-vs-XLA
+proxy omits GSPMD's collective/communication overhead, so it is a LOWER
+BOUND on the real multi-device cliff. Conclusion recorded in
 ``docs/DESIGN.md`` and ``build_apf``'s docstring: ``mesh=`` is an
 exactness/validation path; production multi-chip runs use shard_map
 (``bipk_tpu.parallel``), which the scripts' ``--mesh N`` already selects.
@@ -43,6 +46,10 @@ model = veh.make_model(cfg)
 key = jax.random.key(cfg.seed)
 key, key_sim = jax.random.split(key)
 _, Y, _, _, inputs = veh.simulate(key_sim, cfg, dtype=jnp.float32)
+# float arange can make len(Y) = n_steps + 1; use the simulated length and
+# the repo-wide N*(T-1)/rt convention (ablate_step.py, bench.py) so the
+# cliff numbers are directly comparable to the headline
+n_steps = Y.shape[0] - 1
 x0 = jnp.asarray(model.x0, jnp.float32)
 p0 = jnp.asarray(model.p0, jnp.float32)
 apf = jax.jit(build_apf(model.ssm, model.gps, n_particles, 1.0,

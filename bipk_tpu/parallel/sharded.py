@@ -554,5 +554,3 @@ def build_sharded_apf(
         )
 
     return run_windowed
-
-    return run

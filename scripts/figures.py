@@ -67,6 +67,29 @@ def predictive_on_grid(nat: mniw.MNIW, basis_grid: np.ndarray):
     return mean, np.sqrt(var)
 
 
+def predictive_series_on_grid(nats: mniw.MNIW, basis_grid: np.ndarray):
+    """Posterior-predictive mean/var on a grid for a SERIES of posteriors
+    (iteration axis first) — feeds the reference's wRMSE-vs-iteration
+    curve (/root/reference/SingleMassOscillator_Figures.py:190-213)."""
+    basis = jnp.asarray(basis_grid)
+
+    def one(nat):
+        factor = mniw.factorize(nat)
+        pred = jax.vmap(lambda phi: mniw.factor_predictive(factor, phi))(
+            basis
+        )
+        df = pred.df
+        var = (
+            pred.col_scale
+            * pred.row_scale[:, 0, 0]
+            * jnp.where(df > 2, df / (df - 2.0), jnp.inf)
+        )
+        return pred.mean[:, 0], var
+
+    mean, var = jax.lax.map(one, nats)
+    return np.asarray(mean), np.asarray(var)
+
+
 def _final_offline_posterior(data, prior_keys, stat_keys):
     prior = [data[k] for k in prior_keys]
     stats = [np.mean(data[k], axis=0) for k in stat_keys]
@@ -80,6 +103,10 @@ def _final_offline_posterior(data, prior_keys, stat_keys):
 
 
 def figure_oscillator(data, outdir):
+    paths = []
+    # --- final-posterior function-error panel at reference fidelity:
+    # variance-alpha tripcolor + weighted data-density marginals
+    # (parity: /root/reference/SingleMassOscillator_Figures.py:140-188)
     post = _final_offline_posterior(
         data,
         ["prior_T0", "prior_T1", "prior_T2", "prior_T3"],
@@ -88,29 +115,60 @@ def figure_oscillator(data, outdir):
     mean, std = predictive_on_grid(post, data["basis_plot"])
     truth = data["F_sd_true_plot"].ravel()
 
-    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    fig, ax, ax_histx, ax_histy, cax = plotting.fcn_error_grid_axes()
     plotting.plot_fcn_error_2d(
-        data["X_plot"], mean, truth, data_xy=data["X"], ax=axes[0]
+        data["X_plot"], mean, truth, std=std,
+        data_xy=data["offline_Sigma_X"],
+        data_weights=data["offline_weights"],
+        ax=ax, ax_histx=ax_histx, ax_histy=ax_histy, cax=cax,
+        vmin=1e-1, norm="log",
     )
-    axes[0].set_title("|posterior mean - truth| of F_sd")
-    wrmse = np.sqrt(np.mean((mean - truth) ** 2))
+    ax.set_xlabel("s in m")
+    ax.set_ylabel("ds/dt in m/s")
+    path = os.path.join(outdir, "SingleMassOscillator_fcn_error.pdf")
+    plotting.apply_basic_formatting(fig, width=12, height=12)
+    fig.savefig(path)
+    paths.append(path)
+
+    # --- wRMSE over Gibbs iterations (parity:
+    # /root/reference/SingleMassOscillator_Figures.py:190-213)
+    nats = running_mean_posteriors(
+        (data["prior_T0"], data["prior_T1"], data["prior_T2"],
+         data["prior_T3"]),
+        data["offline_T0"], data["offline_T1"], data["offline_T2"],
+        data["offline_T3"],
+    )
+    mean_it, var_it = predictive_series_on_grid(nats, data["basis_plot"])
+    wrmse = plotting.calc_wrmse_precision(mean_it, var_it, truth)
+    figr, axr = plt.subplots(1, 1, layout="tight")
+    plotting.plot_wrmse_curve(wrmse, ax=axr, ylabel="wRMSE in N")
+    plotting.apply_basic_formatting(figr, width=12, height=9)
+    pr = os.path.join(outdir, "SingleMassOscillator_wRMSE.pdf")
+    figr.savefig(pr)
+    paths.append(pr)
+
+    # --- state estimate panel
+    fig2, ax2 = plt.subplots(1, 1, figsize=(6, 4))
     plotting.plot_data(
         data["time"].ravel(),
         data["offline_Sigma_X"][:, :, 0],
         data["offline_weights"],
         truth=data["X"][:, 0],
-        ax=np.atleast_1d(axes[1]),
+        ax=np.atleast_1d(ax2),
     )
-    axes[1].set_title(f"position draws (fn RMSE {wrmse:.2f})")
-    plotting.apply_basic_formatting(fig, width=28, height=11)
-    path = os.path.join(outdir, "SingleMassOscillator_fig.pdf")
-    fig.savefig(path)
-    return path
+    ax2.set_title(f"position draws (final wRMSE {wrmse[-1]:.2f} N)")
+    plotting.apply_basic_formatting(fig2, width=14, height=11)
+    p2 = os.path.join(outdir, "SingleMassOscillator_fig.pdf")
+    fig2.savefig(p2)
+    paths.append(p2)
+    return paths[-1] if len(paths) == 1 else paths
 
 
 def figure_vehicle(data, outdir):
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
-    for ax, sfx, label in ((axes[0], "_f", "front"), (axes[1], "_r", "rear")):
+    figr, axr = plt.subplots(1, 2, figsize=(11, 4))
+    truth = data["mu_true_plot"].ravel()
+    for i, (sfx, label) in enumerate((("_f", "front"), ("_r", "rear"))):
         post = _final_offline_posterior(
             data,
             [f"prior_T0{sfx}", f"prior_T1{sfx}", f"prior_T2{sfx}", f"prior_T3{sfx}"],
@@ -121,14 +179,31 @@ def figure_vehicle(data, outdir):
             data["alpha_plot"].ravel(),
             mean,
             std,
-            data["mu_true_plot"].ravel(),
+            truth,
             data_x=data[f"offline_Sigma_alpha{sfx}"],
-            ax=ax,
+            ax=axes[i],
             label=f"mu_y {label}",
+        )
+        # wRMSE over Gibbs iterations per axle (parity with the
+        # reference's per-function wRMSE curves)
+        nats = running_mean_posteriors(
+            (data[f"prior_T0{sfx}"], data[f"prior_T1{sfx}"],
+             data[f"prior_T2{sfx}"], data[f"prior_T3{sfx}"]),
+            data[f"offline_T0{sfx}"], data[f"offline_T1{sfx}"],
+            data[f"offline_T2{sfx}"], data[f"offline_T3{sfx}"],
+        )
+        mean_it, var_it = predictive_series_on_grid(
+            nats, data["basis_plot"]
+        )
+        wrmse = plotting.calc_wrmse_precision(mean_it, var_it, truth)
+        plotting.plot_wrmse_curve(
+            wrmse, ax=axr[i], ylabel=f"wRMSE mu_y {label}"
         )
     plotting.apply_basic_formatting(fig, width=28, height=11)
     path = os.path.join(outdir, "Vehicle_fig.pdf")
     fig.savefig(path)
+    plotting.apply_basic_formatting(figr, width=28, height=11)
+    figr.savefig(os.path.join(outdir, "Vehicle_wRMSE.pdf"))
     return path
 
 
@@ -147,6 +222,24 @@ def figure_emps(data, outdir):
     axes[0].plot(data["dq_plot"].ravel(), mean, color=plotting.IMES_BLUE)
     axes[0].set_xlabel("dq")
     axes[0].set_ylabel("friction F(dq)")
+
+    # posterior-uncertainty trace over Gibbs iterations (EMPS has no
+    # ground-truth friction curve; the reference tracks the posterior
+    # mean's evolution instead)
+    nats = running_mean_posteriors(
+        (data["prior_T0"], data["prior_T1"], data["prior_T2"],
+         data["prior_T3"]),
+        data["offline_T0"], data["offline_T1"], data["offline_T2"],
+        data["offline_T3"],
+    )
+    mean_it, var_it = predictive_series_on_grid(nats, data["basis_plot"])
+    drift = plotting.calc_wrmse_precision(mean_it, var_it, mean_it[-1])
+    figr, axr = plt.subplots(1, 1, layout="tight")
+    plotting.plot_wrmse_curve(
+        drift, ax=axr, ylabel="wRMSE to final posterior"
+    )
+    plotting.apply_basic_formatting(figr, width=12, height=9)
+    figr.savefig(os.path.join(outdir, "EMPS_wRMSE.pdf"))
     plotting.plot_data(
         data["time"].ravel(),
         data["offline_Sigma_X"][:, :, 0],
