@@ -972,6 +972,17 @@ def draw_update_gather_packed_bl(
         )
 
     def fallback(_):
+        # Window overflow happens when the weights are degenerate (long
+        # zero-offspring runs stretch the ancestor span: measured on the
+        # vehicle sweep, 88.7% of steps, median per-block span 39 tiles
+        # vs the 16-tile window, median ESS ~0.1% of N). The sorted XLA
+        # gather is the right tool here: consecutive outputs re-read the
+        # same/nearby columns, so it effectively streams the statistics
+        # once (~126 us/GP at N = 32768, ~1.7x the pure-streaming floor).
+        # A dedup rewrite (gather the D distinct columns, then remap) was
+        # measured WORSE: a (232, 2048) column gather from the row-major
+        # (232, N) layout reads one ~512 B burst per row per column —
+        # ~64x HBM amplification, 287 us for 1.9 MB of payload.
         S_g = jnp.take(S, anc, axis=-1, indices_are_sorted=True)
         return pk.draw_update_packed_blocks(
             S_g, phi, u, v, float(jitter), float(lam), prior_blocks,
