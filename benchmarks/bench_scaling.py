@@ -67,7 +67,7 @@ def setup(n_particles, n_steps):
     return cfg, model, Y, inputs, key
 
 
-def bench_apf(n_dev, n_particles=4096, n_steps=64, scheme="exact"):
+def bench_apf(n_dev, n_particles=1024, n_steps=16, scheme="exact"):
     cfg, model, Y, inputs, key = setup(n_particles, n_steps)
     mesh = particle_mesh(n_dev)
     run = jax.jit(
@@ -79,11 +79,9 @@ def bench_apf(n_dev, n_particles=4096, n_steps=64, scheme="exact"):
     lowered = run.lower(key, Y, inputs, model.x0, model.p0)
     compiled = lowered.compile()
     out = jax.block_until_ready(run(key, Y, inputs, model.x0, model.p0))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(run(key, Y, inputs, model.x0, model.p0))
-        best = min(best, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(key, Y, inputs, model.x0, model.p0))
+    best = time.perf_counter() - t0
     return {
         "algo": f"apf-{scheme}",
         "n_devices": n_dev,
@@ -94,7 +92,7 @@ def bench_apf(n_dev, n_particles=4096, n_steps=64, scheme="exact"):
     }
 
 
-def bench_csmc(n_dev, n_particles=2048, n_steps=32):
+def bench_csmc(n_dev, n_particles=512, n_steps=16):
     cfg, model, Y, inputs, key = setup(n_particles, n_steps)
     mesh = particle_mesh(n_dev)
     apf = jax.jit(
@@ -115,11 +113,9 @@ def bench_csmc(n_dev, n_particles=2048, n_steps=32):
             ref_stats)
     compiled = run.lower(*args).compile()
     out = jax.block_until_ready(run(*args))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(run(*args))
-        best = min(best, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(*args))
+    best = time.perf_counter() - t0
     return {
         "algo": "csmc",
         "n_devices": n_dev,
