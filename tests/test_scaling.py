@@ -1,0 +1,62 @@
+"""Collective-structure regression for the multi-chip paths.
+
+The per-step communication schedule must be O(1) ROUNDS regardless of
+mesh size: growing the mesh may change collective ring sizes (ICI hops)
+but must NOT add collective ops to the compiled program. Compile-only —
+no execution — so this stays fast on the 1-vCPU CI host.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bipk_tpu.models import toy
+from bipk_tpu.parallel.mesh import particle_mesh
+from bipk_tpu.parallel.sharded import build_sharded_apf
+
+_COLLECTIVE_RE = re.compile(
+    r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
+    r"all-to-all)\b"
+)
+
+
+def _collectives(compiled):
+    counts = {}
+    for m in _COLLECTIVE_RE.finditer(compiled.as_text()):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("scheme", ["local", "exact"])
+def test_apf_collective_count_constant_in_mesh_size(scheme):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    cfg = toy.ToyConfig(n_particles=256, n_steps=8)
+    model = toy.make_model(cfg)
+    key = jax.random.key(0)
+    _, Y = toy.simulate(key, cfg, dtype=jnp.float32)
+    inputs = jnp.zeros((cfg.n_steps, 0))
+
+    per_mesh = {}
+    for n_dev in (2, 4, 8):
+        run = jax.jit(
+            build_sharded_apf(
+                model.ssm, (model.gp,), cfg.n_particles,
+                particle_mesh(n_dev), 1.0, dtype=jnp.float32,
+                resampling_scheme=scheme,
+            )
+        )
+        compiled = run.lower(
+            key, Y, inputs, model.x0, model.p0
+        ).compile()
+        per_mesh[n_dev] = _collectives(compiled)
+
+    base = per_mesh[2]
+    assert base, "expected collectives on a 2-device mesh"
+    for n_dev in (4, 8):
+        assert per_mesh[n_dev] == base, (
+            f"collective structure changed with mesh size: "
+            f"{per_mesh}"
+        )
