@@ -8,6 +8,8 @@ reconstruction — a host-side numpy loop in the reference — is a reverse
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -41,7 +43,12 @@ def systematic(key: jax.Array, weights: jax.Array) -> jax.Array:
     n = weights.shape[-1]
     w = normalize_weights(weights)
     u = jax.random.uniform(key, dtype=w.dtype)
-    if pk.enabled() and pk.supported_resample(n) and weights.ndim == 1:
+    if (
+        pk.enabled()
+        and pk.supported_resample(n)
+        and weights.ndim == 1
+        and not os.environ.get("BIPK_DISABLE_RESAMPLE_KERNEL")
+    ):
         # whole-population fused kernel: MXU-matmul prefix sums + a
         # scatterless counts->ancestors merge (~305 us -> ~40 us at
         # N = 32768 on v5e); same closed-form-offspring semantics, CDF
