@@ -909,7 +909,11 @@ def _draw_update_gather_kernel(
 # covers that with margin. Blocks that span wider (a long run of
 # zero-offspring particles inside one block) take the exact XLA-gather
 # fallback via lax.cond in mniw.draw_update_packed_bl.
-_GATHER_WINDOW_TILES = int(os.environ.get("BIPK_GATHER_WINDOW", "16"))
+# lane-window width (in 128-lane tiles) of the fused-gather kernels.
+# Wider windows catch more degenerate-weight steps before the XLA-gather
+# fallback (vehicle sweep, matched A/B: 16 -> 1.042 ms/step, 32 -> 1.019,
+# 48 -> 1.022); 32 keeps the 232-row window at 3.8 MB VMEM.
+_GATHER_WINDOW_TILES = int(os.environ.get("BIPK_GATHER_WINDOW", "32"))
 # statically-unrolled gather rounds per output tile (see
 # _windowed_gather_to_scratch); spans beyond this take a dynamic tail
 _GATHER_STATIC_ROUNDS = int(os.environ.get("BIPK_GATHER_STATIC", "2"))
@@ -946,7 +950,11 @@ def gather_plan(m: int, n: int, n_in_padded: int, dtype=jnp.float32):
     of ``block`` outputs span at least ``block`` source lanes)."""
     rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     if not _cs_layout(m):
-        return _BLOCK, min(_GATHER_WINDOW_TILES, n_in_padded // _LANES), False
+        # cap the tiled window buffer at ~4 MB VMEM (it coexists with the
+        # double-buffered in/out blocks and the factor scratch)
+        wt_budget = max(8, (4 * 2**20) // (rows * _LANES * 4))
+        wt = min(_GATHER_WINDOW_TILES, wt_budget, n_in_padded // _LANES)
+        return _BLOCK, wt, False
     itemsize = jnp.dtype(dtype).itemsize
     lb = _cs_lanes(rows, dtype)
     # the gather kernel holds window + gathered block + factor columns +
