@@ -776,8 +776,9 @@ def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
     costs ~0.65 us/round of loop overhead in Mosaic AND serializes the
     eight per-tile gathers against each other, where the unrolled rounds
     issue as one wide independent stream. Spans beyond the static budget
-    (rare: one output tile's ancestors covering > 3 source tiles) divert
-    to a conditional dynamic tail loop.
+    (rare: one output tile's ancestors covering more than
+    ``_GATHER_STATIC_ROUNDS`` source tiles) divert to a conditional
+    dynamic tail loop.
     """
     for tau in range(_ROWS):
         a_lo = anc_ref[tau, 0]
@@ -2269,8 +2270,18 @@ def _cs_du_gather_call(
 # ancestors, each (R, 128) = N * 4 B, plus the (R, R) offset mask.
 _RESAMPLE_MAX_N = 131072
 _BLOCK8 = 8 * _LANES
-# speculative merge-walk steps per fori trip (see _systematic_merge_kernel)
+# speculative merge-walk steps per fori trip (see _systematic_merge_kernel).
+# The kernel loads two 8-row blocks per trip, so the speculative rows
+# r_c .. r_c+K must stay within those 16 rows minus the base row's own
+# worst-case advance — values past 8 silently select zero rows and emit
+# wrong ancestors; fail loudly on a mistyped env var instead.
 _MERGE_SPEC = int(os.environ.get("BIPK_MERGE_SPEC", "3"))
+if not 1 <= _MERGE_SPEC <= 8:
+    raise ValueError(
+        f"BIPK_MERGE_SPEC={_MERGE_SPEC} out of range [1, 8]: the merge "
+        "kernel's speculative rows must fall inside its two loaded 8-row "
+        "blocks"
+    )
 
 
 def supported_resample(n: int) -> bool:

@@ -161,7 +161,7 @@ def figure_oscillator(data, outdir):
     p2 = os.path.join(outdir, "SingleMassOscillator_fig.pdf")
     fig2.savefig(p2)
     paths.append(p2)
-    return paths[-1] if len(paths) == 1 else paths
+    return paths
 
 
 def figure_vehicle(data, outdir):
@@ -276,7 +276,8 @@ def main():
         raise SystemExit(f"unknown result file {name}; choices: {list(RENDERERS)}")
     data = scipy.io.loadmat(args.matfile)
     path = RENDERERS[name](data, args.outdir)
-    print(f"saved {path}")
+    paths = path if isinstance(path, list) else [path]
+    print(f"saved {', '.join(paths)}")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,7 @@
 """Unit tests for resampling + ancestry (bipk_tpu.ops.resampling)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,6 +163,35 @@ def test_systematic_pallas_kernel_matches_xla():
             cw = np.bincount(want, minlength=n)
             assert np.abs(cg - cw).max() <= 1, (n, seed)
             assert np.mean(got != want) < 0.02, (n, seed)
+
+
+def test_systematic_pallas_kernel_large_n_ceiling():
+    """Offspring-count parity at the kernel's supported ceiling
+    (N = 131072): the f32 MXU-matmul prefix-sum CDF accumulates rounding
+    that grows with N — slot mismatches rise, but every input's offspring
+    count must stay within 1 of the f64 closed form."""
+    import pytest
+
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    if not pk.enabled():
+        pytest.skip("pallas kernels disabled")
+    if os.environ.get("BIPK_SKIP_SLOW_INTERPRET") and pk._INTERPRET:
+        pytest.skip("interpret-mode large-N case skipped by env")
+    n = 131072
+    assert pk.supported_resample(n)
+    ka, kb = jax.random.split(jax.random.key(7))
+    w = jax.nn.softmax(jax.random.normal(ka, (n,)) * 4.0)
+    u = jax.random.uniform(kb, dtype=jnp.float32)
+    got = np.asarray(pk.systematic_ancestors_blocks(w, u, n))
+    wd = np.asarray(w, np.float64)
+    cdf = np.cumsum(wd / wd.sum())
+    cc = np.clip(np.ceil(n * cdf - float(u)).astype(np.int64), 0, n)
+    want = np.clip(np.searchsorted(cc, np.arange(n), side="right"), 0, n - 1)
+    assert np.all(np.diff(got) >= 0)
+    cg = np.bincount(got, minlength=n)
+    cw = np.bincount(want, minlength=n)
+    assert np.abs(cg - cw).max() <= 1
 
 
 def test_systematic_pallas_degenerate():
