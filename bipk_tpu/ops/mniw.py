@@ -26,6 +26,7 @@ each of those uses.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -904,21 +905,33 @@ def draw_update_gather_packed_bl(
     jitter: float | None = None,
     use_pallas: bool | None = None,
     factor: jax.Array | None = None,
+    fused: bool | None = None,
 ):
-    """:func:`draw_update_packed_bl` with the resampling gather fused in.
+    """Resampling gather + :func:`draw_update_packed_bl`, same RNG stream
+    (bitwise-identical results on TPU) on every path.
 
-    Semantically identical (same RNG stream, bitwise on-path) to
-    ``draw_update_packed_bl(key, S[:, ancestors], phi, ...)`` but on TPU
-    the ancestor columns are read inside the draw/update kernel straight
-    from the pre-resampling statistics — the gathered statistics never
-    exist in HBM, eliminating the separate gather pass + kernel re-read
-    (two of the five HBM passes over the dominant per-step payload).
+    Default: conditional in-kernel-gather dispatch — the windowed fused
+    kernel when every block's ancestor span fits the contiguous lane
+    window, exact XLA gather + draw kernel otherwise. This was the best
+    of five structures measured head-to-head on the vehicle APF in round
+    5 (one v5e chip, N = 32768, degenerate weights, DESIGN.md round-5
+    ledger): 2-way cond 31.1M psps, 3-tier cond with the dedup-window
+    kernel 28.1M, unconditional separate gather 28.3-30.1M. The losing
+    alternatives stay behind flags because each embodies a real measured
+    effect worth re-testing on future hardware/compilers:
+
+    - ``fused=False`` / ``BIPK_SEPARATE_GATHER=1``: NO ``lax.cond`` at
+      all (every conditional boundary on the ~30 MB statistics forces
+      XLA buffer copies, ~40-90 us each) — but losing the windowed
+      kernel on the ~1/3 of steps where it fits costs more.
+    - ``BIPK_DEDUP_GATHER=1``: adds the dedup-window kernel
+      (distinct-tile staging) as a middle tier for degenerate-weight
+      steps whose SPAN overflows but whose distinct tiles fit; the
+      kernel itself is bitwise-correct and ~its XLA-fallback's speed,
+      so the extra cond tier's boundary copies make it a net loss.
 
     ``ancestors (N,)`` must be non-decreasing (systematic-resampling
-    output, ``/root/reference/src/Filtering.py:28-35``); the rare blocks
-    whose ancestors span wider than the kernel's lane window (a long
-    zero-offspring run) divert the whole call to the exact gather+draw
-    fallback via ``lax.cond``.
+    output, ``/root/reference/src/Filtering.py:28-35``).
     """
     if jitter is None:
         jitter = _default_jitter(S.dtype)
@@ -937,7 +950,17 @@ def draw_update_gather_packed_bl(
     n_in = S.shape[-1]
     N = ancestors.shape[-1]
     total_in = -(-n_in // 128) * 128
-    block, wt, _ = pk.gather_plan(m, n, total_in, S.dtype)
+    block, wt, use_cs = pk.gather_plan(m, n, total_in, S.dtype)
+    if fused is None:
+        fused = not os.environ.get("BIPK_SEPARATE_GATHER")
+    if not fused:
+        # UNCONDITIONAL path (see docstring): sorted XLA gather + fused
+        # draw/update kernel — no lax.cond, no 30-MB boundary copies
+        S_g = jnp.take(S, ancestors, axis=-1, indices_are_sorted=True)
+        return draw_update_packed_bl(
+            key, S_g, phi, prior=prior, lam=lam, m=m, n=n, jitter=jitter,
+            use_pallas=use_pallas,
+        )
     total = -(-N // block) * block
     anc = ancestors.astype(jnp.int32)
     anc_padded = (
@@ -958,7 +981,7 @@ def draw_update_gather_packed_bl(
 
     use_factor = factor is not None and pk.supported_factor(m)
 
-    def fused(_):
+    def fused_branch(_):
         if use_factor:
             # reuse the auxiliary kernel's factor: the draw skips the
             # O(m^3/6) refactorization (its dominant, spill-bound term)
@@ -972,24 +995,56 @@ def draw_update_gather_packed_bl(
         )
 
     def fallback(_):
-        # Window overflow happens when the weights are degenerate (long
-        # zero-offspring runs stretch the ancestor span: measured on the
-        # vehicle sweep, 88.7% of steps, median per-block span 39 tiles
-        # vs the 16-tile window, median ESS ~0.1% of N). The sorted XLA
-        # gather is the right tool here: consecutive outputs re-read the
-        # same/nearby columns, so it effectively streams the statistics
-        # once (~126 us/GP at N = 32768, ~1.7x the pure-streaming floor).
-        # A dedup rewrite (gather the D distinct columns, then remap) was
-        # measured WORSE: a (232, 2048) column gather from the row-major
-        # (232, N) layout reads one ~512 B burst per row per column —
-        # ~64x HBM amplification, 287 us for 1.9 MB of payload.
+        # Last resort under degenerate weights (low ESS): the sorted XLA
+        # gather streams the statistics at ~1.7x the pure-streaming floor
+        # (~126 us/GP at N = 32768) but materializes the gathered copy in
+        # HBM (write + kernel re-read). A COLUMN-dedup rewrite (gather
+        # the D distinct columns, then remap) was measured worse: a
+        # (232, 2048) column gather from the row-major (232, N) layout
+        # reads one ~512 B burst per row per column — ~64x HBM
+        # amplification, 287 us for 1.9 MB of payload. The TILE-dedup
+        # kernel below avoids both and handles almost every degenerate
+        # step; this path only fires when some block's ancestors touch
+        # more than the dedup window's distinct-tile budget.
         S_g = jnp.take(S, anc, axis=-1, indices_are_sorted=True)
         return pk.draw_update_packed_blocks(
             S_g, phi, u, v, float(jitter), float(lam), prior_blocks,
             p3=p3, m=m, n=n,
         )
 
-    return jax.lax.cond(fits, fused, fallback, None)
+    if (
+        use_cs
+        or use_factor
+        or not pk.dedup_supported(total_in)
+        or not os.environ.get("BIPK_DEDUP_GATHER")
+    ):
+        return jax.lax.cond(fits, fused_branch, fallback, None)
+
+    # Degenerate-weight regime (vehicle APF: median ESS ~12 of 32768):
+    # a block's ancestors SPAN most of the source array (long offspring
+    # runs separated by wide zero-offspring gaps) while touching only a
+    # few DISTINCT source tiles — the contiguous window can't fit them,
+    # but the dedup-window kernel stages exactly the distinct tiles and
+    # keeps the gather fused (~one streaming read instead of the
+    # 4-pass gather+draw fallback). Plan arithmetic (the per-block rank
+    # cumsum) runs inside the branch, so fitting steps never pay it.
+    wdt = pk.dedup_window_tiles(total_in)
+    fits_dedup = pk.dedup_fits(anc_padded, block, wdt)
+
+    def dedup(_):
+        local_anc, tids = pk.dedup_plan(
+            anc_padded, block, wdt, total_in // 128
+        )
+        snew, y, ld1, ldp = pk.draw_update_dedup_gather_packed_blocks(
+            S, local_anc, tids, phi, u, v, float(jitter), float(lam),
+            prior_blocks, p3=p3, m=m, n=n, wtiles=wdt,
+        )
+        return snew[:, :N], y[:, :N], ld1[:N], ldp[:N]
+
+    def non_fitting(_):
+        return jax.lax.cond(fits_dedup, dedup, fallback, None)
+
+    return jax.lax.cond(fits, fused_branch, non_fitting, None)
 
 
 def pack_suff_col(y: jax.Array, phi: jax.Array) -> jax.Array:

@@ -667,27 +667,20 @@ def _du_factor_gather_kernel(
     ld_ref[1] = logdet_psi
 
 
-def _draw_update_packed_kernel(
-    s_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
+def _draw_update_tail(
+    src_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
     snew_ref, y_ref, ld_ref, l_ref,
     *, m, n, jitter, lam, p3, has_prior,
 ):
-    """Fused matrix-t predictive draw + rank-1 statistics update.
-
-    Factors ``prior + lam*stats``, projects at ``phi``, draws the
-    interface variable ``y`` from the matrix-t predictive using the
-    rejection-free polar method (``gaussian.student_t``) on the supplied
-    uniforms ``u, v (n,)``-rows, and writes the UPDATED packed statistics
-    ``lam*stats + suff(y, phi)`` — the draw's m^2-sized factor and the
-    rank-1 sufficient-statistics outer products never touch HBM, and the
-    statistics update costs no separate read-modify-write pass.
-    Emits ``ld = (logdet_T1, logdet_Psi)`` of the factored MNIW for the
-    marginalized ancestor-weight terms (cSMC).
-    """
+    """Shared tail of the fused draw/update kernels: factorize
+    ``prior + lam*stats`` read from ``src_ref`` (the packed-statistics
+    block, in whatever buffer the caller staged it), project at ``phi``,
+    draw the matrix-t predictive, and write the rank-1-updated packed
+    statistics + draw + log-determinants."""
     p0 = p0_ref if has_prior else None
     p1 = p1_ref if has_prior else None
     p2 = p2_ref if has_prior else None
-    raw_t0, raw_t1, raw_t2, raw_t3 = _packed_readers(s_ref, m, n)
+    raw_t0, raw_t1, raw_t2, raw_t3 = _packed_readers(src_ref, m, n)
     psi, white, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
         raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
         m=m, n=n, jitter=jitter, lam=lam, l_ref=l_ref,
@@ -749,6 +742,30 @@ def _draw_update_packed_kernel(
         y_ref[c] = y[c]
     ld_ref[0] = 2.0 * half_ld_t1
     ld_ref[1] = logdet_psi
+
+
+def _draw_update_packed_kernel(
+    s_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
+    snew_ref, y_ref, ld_ref, l_ref,
+    *, m, n, jitter, lam, p3, has_prior,
+):
+    """Fused matrix-t predictive draw + rank-1 statistics update.
+
+    Factors ``prior + lam*stats``, projects at ``phi``, draws the
+    interface variable ``y`` from the matrix-t predictive using the
+    rejection-free polar method (``gaussian.student_t``) on the supplied
+    uniforms ``u, v (n,)``-rows, and writes the UPDATED packed statistics
+    ``lam*stats + suff(y, phi)`` — the draw's m^2-sized factor and the
+    rank-1 sufficient-statistics outer products never touch HBM, and the
+    statistics update costs no separate read-modify-write pass.
+    Emits ``ld = (logdet_T1, logdet_Psi)`` of the factored MNIW for the
+    marginalized ancestor-weight terms (cSMC).
+    """
+    _draw_update_tail(
+        s_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
+        snew_ref, y_ref, ld_ref, l_ref,
+        m=m, n=n, jitter=jitter, lam=lam, p3=p3, has_prior=has_prior,
+    )
 
 
 def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
@@ -842,65 +859,67 @@ def _draw_update_gather_kernel(
     """
     ws = w_ref[pl.program_id(0)] * 128
     _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows)
-
-    p0 = p0_ref if has_prior else None
-    p1 = p1_ref if has_prior else None
-    p2 = p2_ref if has_prior else None
-    raw_t0, raw_t1, raw_t2, raw_t3 = _packed_readers(scratch_ref, m, n)
-    psi, white, mean, col, half_ld_t1, logdet_psi = _factorize_project_core(
-        raw_t0, raw_t1, raw_t2, phi_ref, p0, p1, p2,
-        m=m, n=n, jitter=jitter, lam=lam, l_ref=l_ref,
+    _draw_update_tail(
+        scratch_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
+        snew_ref, y_ref, ld_ref, l_ref,
+        m=m, n=n, jitter=jitter, lam=lam, p3=p3, has_prior=has_prior,
     )
 
-    df = raw_t3() * lam + p3
-    df_pred = df + (1.0 - n)
 
-    two_pi = 6.283185307179586
-    t = []
-    for c in range(n):
-        u = 1.0 - u_ref[c]
-        r = jnp.sqrt(
-            df_pred * (jnp.exp(-(2.0 / df_pred) * jnp.log(u)) - 1.0)
+def _draw_update_dedup_gather_kernel(
+    t_ref, *refs, m, n, jitter, lam, p3, has_prior, rows, wtiles, rtiles,
+):
+    """:func:`_draw_update_gather_kernel` for DEGENERATE weights: the
+    window holds the output block's ``wtiles`` DISTINCT source tiles
+    (not a contiguous lane range), staged ``rtiles`` per inner grid step.
+
+    Under degenerate weights (vehicle APF: median ESS ~12 of 32768) a
+    block's ancestors can SPAN most of the source array — a handful of
+    long offspring runs separated by wide zero-offspring gaps — while
+    touching only a few distinct source tiles (measured p95 ~9 per
+    1024-output block, spans up to all 256 tiles). The contiguous-window
+    kernel can never fit those blocks; this kernel's grid is
+    ``(blocks, wtiles // rtiles)`` with ``rtiles`` input refs whose index
+    maps read the prefetched per-block distinct-tile ids, so each inner
+    step DMAs up to ``rtiles`` needed tiles (Mosaic skips the DMA when a
+    ref's tile id repeats — unused slots carry the last real id forward —
+    making total DMA ~= the number of distinct (block, tile) incidences,
+    <= n_tiles + n_blocks for sorted ancestors: ~1 streaming pass; the
+    measured inner-step overhead of ~0.1 us/step is why tiles are staged
+    ``rtiles`` at a time instead of one). Staging copies for pad slots
+    (slot >= the block's distinct count, prefetched after the tile ids)
+    are branch-skipped. Ancestors arrive REMAPPED to rank space
+    (``rank_of_tile_in_block * 128 + lane``, see ``dedup_plan``), so the
+    per-output-tile gather rounds see a dense window exactly like the
+    contiguous kernel's.
+    """
+    s_refs = refs[:rtiles]
+    (anc_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
+     snew_ref, y_ref, ld_ref, win_ref, scratch_ref, l_ref) = refs[rtiles:]
+    k = pl.program_id(0)
+    w = pl.program_id(1)
+    nb = pl.num_programs(0)
+    dk = t_ref[nb * wtiles + k]
+
+    for j, sref in enumerate(s_refs):
+        slot = w * rtiles + j
+
+        @pl.when(slot < dk)
+        def _stage(sref=sref, slot=slot):
+            win_ref[
+                :, pl.ds(pl.multiple_of(slot * _LANES, _LANES), _LANES)
+            ] = sref[...]
+
+    @pl.when(w == wtiles // rtiles - 1)
+    def _finish():
+        _windowed_gather_to_scratch(
+            win_ref, anc_ref, jnp.int32(0), scratch_ref, rows
         )
-        t.append(r * jnp.cos(two_pi * v_ref[c]))
-
-    inv_df = 1.0 / df_pred
-    if n == 1:
-        scaled = [jnp.sqrt(psi[0][0] * inv_df) * t[0]]
-    else:
-        r00 = psi[0][0] * inv_df
-        off = 0.5 * (psi[0][1] + psi[1][0]) * inv_df
-        r11 = psi[1][1] * inv_df
-        l00 = jnp.sqrt(r00)
-        l10 = off / l00
-        l11 = jnp.sqrt(r11 - l10 * l10)
-        scaled = [l00 * t[0], l10 * t[0] + l11 * t[1]]
-
-    sqrt_col = jnp.sqrt(col)
-    y = [mean[c] + scaled[c] * sqrt_col for c in range(n)]
-
-    o1 = m * n
-    o2 = o1 + m * (m + 1) // 2
-    o3 = o2 + n * (n + 1) // 2
-    phi = [phi_ref[i] for i in range(m)]
-    for i in range(m):
-        for c in range(n):
-            snew_ref[i * n + c] = raw_t0(i, c) * lam + phi[i] * y[c]
-    for j in range(m):
-        for i in range(j, m):
-            snew_ref[o1 + j * m - (j * (j - 1)) // 2 + i - j] = (
-                raw_t1(i, j) * lam + phi[i] * phi[j]
-            )
-    for b in range(n):
-        for a in range(b, n):
-            snew_ref[o2 + b * n - (b * (b - 1)) // 2 + a - b] = (
-                raw_t2(a, b) * lam + y[a] * y[b]
-            )
-    snew_ref[o3] = raw_t3() * lam + 1.0
-    for c in range(n):
-        y_ref[c] = y[c]
-    ld_ref[0] = 2.0 * half_ld_t1
-    ld_ref[1] = logdet_psi
+        _draw_update_tail(
+            scratch_ref, p0_ref, p1_ref, p2_ref, phi_ref, u_ref, v_ref,
+            snew_ref, y_ref, ld_ref, l_ref,
+            m=m, n=n, jitter=jitter, lam=lam, p3=p3, has_prior=has_prior,
+        )
 
 
 # window width (in 128-lane tiles) of the fused-gather draw/update kernel:
@@ -1091,6 +1110,241 @@ def draw_update_gather_packed_blocks(
         _blockify(phi, total),
         _blockify(u, total),
         _blockify(v, total),
+    )
+    snew = _unblock(snew, N)
+    y = _unblock(y, N)
+    ld = _unblock(ld, N)
+    return snew, y, ld[0], ld[1]
+
+
+# distinct-tile window width (in 128-lane tiles) of the DEDUP fused-gather
+# kernel (degenerate-weight regime): must cover a block's DISTINCT source
+# tiles, not its contiguous span. Measured on the vehicle sweep (median
+# ESS ~12/32768): per-1024-block distinct tiles p50 1, p95 9, with
+# per-step maxima of 20-45 on the worst steps — 32 covers ~3/4 of steps
+# at 3.8 MB VMEM for the m = 20 window.
+_DEDUP_WINDOW_TILES = int(os.environ.get("BIPK_DEDUP_WINDOW", "32"))
+# source refs staged per inner grid step (inner steps cost ~0.1 us each;
+# more refs = fewer steps at slightly more live VMEM blocks)
+_DEDUP_REFS = int(os.environ.get("BIPK_DEDUP_REFS", "8"))
+# the plan's distinct-tile-id recovery is one (n_src_tiles,)-query binary
+# search over the sorted ancestors (~30 us at 256 queries); a huge source
+# (the chunked 1M-particle mode gathers 32k-chunks from 8192 tiles) would
+# scale that cost 32x, so the dedup path stands down there
+_DEDUP_MAX_SRC_TILES = int(os.environ.get("BIPK_DEDUP_MAX_SRC_TILES", "1024"))
+
+
+def dedup_supported(n_in_padded: int) -> bool:
+    return n_in_padded // _LANES <= _DEDUP_MAX_SRC_TILES
+
+
+def dedup_window_tiles(n_in_padded: int) -> int:
+    """Distinct-tile budget, rounded up to a whole number of
+    ``_DEDUP_REFS``-wide inner steps (pad slots are branch-skipped)."""
+    wt = min(_DEDUP_WINDOW_TILES, n_in_padded // _LANES)
+    r = min(_DEDUP_REFS, wt)
+    return -(-wt // r) * r
+
+
+def dedup_fits(ancestors: jax.Array, block: int, wtiles: int):
+    """Whether every ``block``-output block's ancestors touch at most
+    ``wtiles`` DISTINCT source tiles (cheap: no cumsum)."""
+    nb = ancestors.shape[0] // block
+    at = jax.lax.shift_right_logical(
+        ancestors.reshape(nb, block), jnp.int32(7)
+    )
+    newt = jnp.concatenate(
+        [
+            jnp.ones((nb, 1), jnp.int32),
+            (at[:, 1:] != at[:, :-1]).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return jnp.all(jnp.sum(newt, axis=1) <= wtiles)
+
+
+def dedup_plan(ancestors: jax.Array, block: int, wtiles: int, n_tiles: int):
+    """Rank-remap sorted ancestors for the dedup-window gather kernel.
+
+    ``ancestors (total,)`` non-decreasing int32 indexing a source of
+    ``n_tiles`` 128-lane tiles, ``total % block == 0``. Returns
+    ``(local_anc (total,), plan (nblocks*wtiles + nblocks,))`` where
+    ``plan[k*wtiles + j]`` is the j-th distinct source tile of block k
+    (slots past the block's distinct count repeat the last real tile so
+    consecutive kernel grid steps skip the DMA), the trailing ``nblocks``
+    entries are each block's distinct-tile count (the kernel skips pad
+    slots' staging copies), and
+    ``local_anc = rank_of_tile_within_block * 128 + lane_within_tile``.
+    Only valid for blocks satisfying :func:`dedup_fits`.
+
+    Closed-form via GLOBAL tile ranks — sorted ancestors mean a block's
+    distinct tiles are a CONTIGUOUS range of the global distinct-tile
+    list, so per-position ranks come from ONE global cumsum of the
+    tile-change flags (measured free at N = 32768 on v5e) and the tile
+    ids from one (n_tiles,)-query binary search over the sorted
+    ancestors (~30 us). Formulations that looked cheaper on paper
+    measured far worse: a per-block cumsum + block-wide searchsorted
+    cost 184 us/call, and an N-element ``take`` from a 256-entry rank
+    table costs 274 us on its own (TPU XLA gathers pay per element) —
+    everything here is elementwise, strided slicing, or tiny.
+    """
+    a = ancestors
+    nb = a.shape[0] // block
+    at_flat = jax.lax.shift_right_logical(a, jnp.int32(7))
+    newt = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.int32),
+            (at_flat[1:] != at_flat[:-1]).astype(jnp.int32),
+        ]
+    )
+    # global rank of each POSITION's tile among the distinct tiles seen
+    gr_flat = jnp.cumsum(newt) - 1
+    gr = gr_flat.reshape(nb, block)
+    g_lo = gr[:, 0]
+    g_hi = gr[:, -1]
+    dk = g_hi - g_lo + 1
+    ab = a.reshape(nb, block)
+    local = (gr - g_lo[:, None]) * _LANES + (ab & (_LANES - 1))
+    # gt[r] = tile id of the r-th distinct tile: first position whose
+    # rank reaches r, read back through the sorted ancestors
+    pos = jnp.searchsorted(
+        gr_flat, jnp.arange(min(n_tiles, a.shape[0]), dtype=jnp.int32)
+    )
+    gt = jax.lax.shift_right_logical(
+        jnp.take(a, pos, mode="clip"), jnp.int32(7)
+    )
+    slots = jnp.minimum(
+        g_lo[:, None] + jnp.arange(wtiles, dtype=jnp.int32)[None, :],
+        g_hi[:, None],
+    )
+    tids = jnp.take(gt, slots.reshape(-1)).reshape(nb, wtiles)
+    # forward-fill pad slots (j >= dk) from the PREVIOUS block's slot j:
+    # a pad slot whose id changes across blocks still fires its ref's DMA
+    # even though the staging copy is skipped — with per-block clamping,
+    # every block transition re-fetched the same clamped tile once per
+    # pad ref (~4x read amplification under degenerate weights). A
+    # 32-step scan over (wtiles,) rows is free.
+    valid = (
+        jnp.arange(wtiles, dtype=jnp.int32)[None, :] < dk[:, None]
+    )
+
+    def _ff(prev, row):
+        v, t = row
+        cur = jnp.where(v, t, prev)
+        return cur, cur
+
+    _, tids = jax.lax.scan(_ff, tids[0], (valid, tids))
+    return (
+        local.reshape(-1),
+        jnp.concatenate(
+            [tids.reshape(-1).astype(jnp.int32), dk.astype(jnp.int32)]
+        ),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("jitter", "lam", "p3", "m", "n", "wtiles")
+)
+def draw_update_dedup_gather_packed_blocks(
+    S, local_anc, tids, phi, u, v, jitter: float, lam: float = 1.0,
+    prior=None, p3: float = 0.0, m: int = 0, n: int = 0, wtiles: int = 0,
+):
+    """Degenerate-weight-regime fused resampling gather + draw + update:
+    semantically ``draw_update_packed_blocks(S[:, ancestors], ...)`` where
+    ``local_anc, tids = dedup_plan(ancestors, ...)``. The kernel's 2-D
+    grid ``(blocks, wtiles)`` stages each output block's distinct source
+    tiles into a VMEM window via the prefetched tile ids; total HBM read
+    is ~one streaming pass over the touched statistics regardless of the
+    ancestor SPAN (the contiguous-window kernel's limit), replacing the
+    4-pass XLA gather+draw fallback on the ~2/3 of vehicle-sweep steps
+    whose weights are degenerate. Tiled layout only (m <= 24).
+    """
+    rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
+    assert S.shape[0] == rows, (S.shape, rows)
+    assert supported(m), f"m={m} exceeds the fused draw-update budget"
+    n_in = S.shape[-1]
+    N = local_anc.shape[-1]
+    total_in = -(-n_in // _LANES) * _LANES
+    assert N % _BLOCK == 0, (N, _BLOCK)
+    assert tids.shape == (N // _BLOCK * (wtiles + 1),), (
+        tids.shape, N, wtiles,
+    )
+    rtiles = min(_DEDUP_REFS, wtiles)
+    assert wtiles % rtiles == 0, (wtiles, rtiles)
+    grid = (N // _BLOCK, wtiles // rtiles)
+
+    has_prior = prior is not None
+    if has_prior:
+        p0, p1, p2 = (jnp.asarray(p, dtype=S.dtype) for p in prior)
+    else:
+        zero = jnp.zeros((1, 1), S.dtype)
+        p0 = p1 = p2 = zero
+
+    anc_blocked = local_anc.astype(jnp.int32).reshape(N // _LANES, _LANES)
+    S_pad = _pad_last(S, total_in)
+
+    s_specs = [
+        pl.BlockSpec(
+            (rows, _LANES),
+            lambda k, w, t_ref, _j=j: (
+                0, t_ref[k * wtiles + w * rtiles + _j]
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(rtiles)
+    ]
+
+    def vspec(lead):
+        zeros = (0,) * len(lead)
+        return pl.BlockSpec(
+            (*lead, _ROWS, _LANES),
+            lambda k, w, t_ref, _z=zeros: (*_z, k, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(shape):
+        return pl.BlockSpec(
+            shape, lambda k, w, t_ref, _z=(0,) * len(shape): _z,
+            memory_space=pltpu.SMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            *s_specs,
+            vspec(()),
+            sspec(p0.shape), sspec(p1.shape), sspec(p2.shape),
+            vspec((m,)), vspec((n,)), vspec((n,)),
+        ],
+        out_specs=[vspec((rows,)), vspec((n,)), vspec((2,))],
+        scratch_shapes=[
+            pltpu.VMEM((rows, wtiles * _LANES), S.dtype),
+            pltpu.VMEM((rows, _ROWS, _LANES), S.dtype),
+            _l_scratch(m, True, S.dtype),
+        ],
+    )
+
+    snew, y, ld = _pallas_call(
+        functools.partial(
+            _draw_update_dedup_gather_kernel, m=m, n=n, jitter=jitter,
+            lam=lam, p3=p3, has_prior=has_prior, rows=rows, wtiles=wtiles,
+            rtiles=rtiles,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, N // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct((n, N // _LANES, _LANES), S.dtype),
+            jax.ShapeDtypeStruct((2, N // _LANES, _LANES), S.dtype),
+        ],
+    )(
+        tids,
+        *([S_pad] * rtiles),
+        anc_blocked,
+        p0, p1, p2,
+        _blockify(phi, N),
+        _blockify(u, N),
+        _blockify(v, N),
     )
     snew = _unblock(snew, N)
     y = _unblock(y, N)

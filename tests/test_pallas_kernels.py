@@ -197,7 +197,7 @@ def test_draw_update_gather_matches_gather_then_draw(m, n):
     args = dict(prior=prior, lam=0.999, m=m, n=n)
 
     Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
-        key, S, anc, phi, use_pallas=True, **args
+        key, S, anc, phi, use_pallas=True, fused=True, **args
     )
     Sr, yr, l1r, lpr = mniw.draw_update_packed_bl(
         key, jnp.take(S, anc, axis=-1), phi, use_pallas=True, **args
@@ -218,7 +218,7 @@ def test_draw_update_gather_microbatch_out_lt_in():
     key = jax.random.key(17)
     args = dict(prior=prior, lam=1.0, m=m, n=n)
     Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
-        key, S, anc, phi, use_pallas=True, **args
+        key, S, anc, phi, use_pallas=True, fused=True, **args
     )
     Sr, yr, l1r, lpr = mniw.draw_update_packed_bl(
         key, jnp.take(S, anc, axis=-1), phi, use_pallas=True, **args
@@ -235,7 +235,9 @@ def test_draw_update_gather_window_overflow_falls_back():
     from bipk_tpu.ops import pallas_kernels as pk
 
     m, n = 9, 1
-    S, prior = _accumulated_packed(m, n, N=4096)
+    # 64 source tiles: wider than the 32-tile contiguous window, so the
+    # whole-source jump below can actually overflow it
+    S, prior = _accumulated_packed(m, n, N=8192)
     n_in = S.shape[-1]
     # the jump from 0 to n_in-1 lands INSIDE output block 1, so that
     # block's ancestors span the whole source — far beyond the window
@@ -250,7 +252,7 @@ def test_draw_update_gather_window_overflow_falls_back():
     key = jax.random.key(19)
     args = dict(prior=prior, lam=0.999, m=m, n=n)
     Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
-        key, S, anc, phi, use_pallas=True, **args
+        key, S, anc, phi, use_pallas=True, fused=True, **args
     )
     Sr, yr, l1r, lpr = mniw.draw_update_packed_bl(
         key, jnp.take(S, anc, axis=-1), phi, use_pallas=True, **args
@@ -284,10 +286,10 @@ def test_factor_reuse_draw_matches_refactorize(m, n):
     assert lw is not None and lw.shape == (m * (m + 1) // 2 + m * n, N)
 
     Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
-        key, S, anc, phi, use_pallas=True, factor=lw, **args
+        key, S, anc, phi, use_pallas=True, fused=True, factor=lw, **args
     )
     Sr, yr, l1r, lpr = mniw.draw_update_gather_packed_bl(
-        key, S, anc, phi, use_pallas=True, **args
+        key, S, anc, phi, use_pallas=True, fused=True, **args
     )
     np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
     np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
@@ -302,3 +304,134 @@ def test_factor_reuse_draw_matches_refactorize(m, n):
     np.testing.assert_array_equal(
         np.asarray(fp.logdet_T1), np.asarray(fp0.logdet_T1)
     )
+
+
+def _degenerate_sorted_ancestors(n_in, seed, n_heavy=12, key_frac=0.02):
+    """Vehicle-regime ancestors: a few heavy particles get long offspring
+    runs, a sprinkle of singletons in the wide gaps between them — blocks
+    SPAN most of the source while touching few distinct tiles."""
+    key = jax.random.key(seed)
+    kh, ks, kr = jax.random.split(key, 3)
+    w = jnp.zeros((n_in,), jnp.float32)
+    heavy = jax.random.choice(kh, n_in, (n_heavy,), replace=False)
+    w = w.at[heavy].set(jax.random.uniform(kr, (n_heavy,)) + 0.5)
+    single = jax.random.choice(ks, n_in, (int(n_in * key_frac),), replace=False)
+    w = w.at[single].add(1.2 / n_in)
+    from bipk_tpu.ops import resampling
+
+    return resampling.systematic(jax.random.key(seed + 1), w).astype(jnp.int32)
+
+
+def test_dedup_plan_matches_numpy():
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    n_in = 4096
+    anc = _degenerate_sorted_ancestors(n_in, seed=3)
+    block, wt = 1024, 16
+    fits = bool(pk.dedup_fits(anc, block, wt))
+    local, plan = jax.jit(pk.dedup_plan, static_argnums=(1, 2, 3))(
+        anc, block, wt, n_in // 128
+    )
+    a = np.asarray(anc).reshape(-1, block)
+    nb = a.shape[0]
+    tids = np.asarray(plan)[: nb * wt].reshape(nb, wt)
+    dk = np.asarray(plan)[nb * wt:]
+    max_dk = 0
+    for k in range(nb):
+        at = a[k] >> 7
+        uniq, inv = np.unique(at, return_inverse=True)
+        max_dk = max(max_dk, len(uniq))
+        assert dk[k] == len(uniq)
+        want_local = inv * 128 + (a[k] & 127)
+        np.testing.assert_array_equal(
+            np.asarray(local).reshape(nb, block)[k], want_local
+        )
+        np.testing.assert_array_equal(tids[k, : len(uniq)], uniq)
+        # pad slots forward-fill from the previous block (slot ids must
+        # not change across blocks, else the pad refs re-fire their DMA)
+        if k > 0:
+            np.testing.assert_array_equal(
+                tids[k, len(uniq):], tids[k - 1, len(uniq):]
+            )
+    assert fits == (max_dk <= wt)
+
+
+def test_draw_update_dedup_gather_matches_gather_then_draw():
+    """The dedup-window kernel (degenerate-weight regime) is bitwise
+    identical to XLA gather + fused draw/update: wide-span blocks that
+    can never fit the contiguous window are covered by their distinct
+    tiles. Exercises the FULL dispatch (contiguous window must NOT fit,
+    dedup must) and the kernel directly."""
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    m, n = 20, 1
+    S, prior = _accumulated_packed(m, n, N=16384)
+    n_in = S.shape[-1]
+    anc = _degenerate_sorted_ancestors(n_in, seed=9)
+    block, wt, use_cs = pk.gather_plan(m, n, n_in, S.dtype)
+    assert not use_cs
+    _, fits = pk.window_starts(anc, n_in, block=block, window_tiles=wt)
+    assert not bool(fits), "want the contiguous window to overflow"
+    wdt = pk.dedup_window_tiles(n_in)
+    assert bool(pk.dedup_fits(anc, block, wdt)), "want the dedup path"
+
+    phi = jax.random.normal(jax.random.key(5), (m, n_in), jnp.float32)
+    key = jax.random.key(29)
+    args = dict(prior=prior, lam=0.999, m=m, n=n)
+    os.environ["BIPK_DEDUP_GATHER"] = "1"
+    try:
+        Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
+            key, S, anc, phi, use_pallas=True, fused=True, **args
+        )
+    finally:
+        del os.environ["BIPK_DEDUP_GATHER"]
+    Sr, yr, l1r, lpr = mniw.draw_update_packed_bl(
+        key, jnp.take(S, anc, axis=-1), phi, use_pallas=True, **args
+    )
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
+    np.testing.assert_array_equal(np.asarray(l1f), np.asarray(l1r))
+    np.testing.assert_array_equal(np.asarray(lpf), np.asarray(lpr))
+    if pk._INTERPRET:
+        # interpret mode compiles the two kernels as separate XLA CPU
+        # programs, and XLA is free to fma-contract the statistics update
+        # `raw*lam + phi_i*phi_j` in one and not the other. The draws and
+        # log-determinants above are exact, so only operand-scale fma
+        # noise remains (under cancellation it exceeds result-ulp scale);
+        # on real TPU hardware Mosaic compiles both identically and the
+        # comparison is bitwise (verified on v5e).
+        a, b = np.asarray(Sf), np.asarray(Sr)
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3)
+    else:
+        np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
+
+
+def test_dedup_gather_overflow_diverts_to_xla_fallback():
+    """A block touching more distinct tiles than the dedup window still
+    produces the exact gathered reference result (3rd dispatch tier)."""
+    from bipk_tpu.ops import pallas_kernels as pk
+
+    m, n = 9, 1
+    S, prior = _accumulated_packed(m, n, N=8192)
+    n_in = S.shape[-1]
+    # one output block fed by > wdt distinct tiles: ancestors stride
+    # every other tile across the whole source inside block 0
+    wdt = pk.dedup_window_tiles(n_in)
+    stride = jnp.arange(1024, dtype=jnp.int32) * (n_in // 1024)
+    rest = jnp.full((n_in - 1024,), n_in - 1, jnp.int32)
+    anc = jnp.concatenate([stride, rest])
+    assert not bool(pk.dedup_fits(anc, 1024, wdt))
+    phi = jax.random.normal(jax.random.key(5), (m, n_in), jnp.float32)
+    key = jax.random.key(31)
+    args = dict(prior=prior, lam=1.0, m=m, n=n)
+    os.environ["BIPK_DEDUP_GATHER"] = "1"
+    try:
+        Sf, yf, l1f, lpf = mniw.draw_update_gather_packed_bl(
+            key, S, anc, phi, use_pallas=True, fused=True, **args
+        )
+    finally:
+        del os.environ["BIPK_DEDUP_GATHER"]
+    Sr, yr, l1r, lpr = mniw.draw_update_packed_bl(
+        key, jnp.take(S, anc, axis=-1), phi, use_pallas=True, **args
+    )
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
+    np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
