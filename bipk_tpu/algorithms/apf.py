@@ -123,6 +123,8 @@ class APFKernel:
         )(state, *int_vars)
 
     def basis_all(self, i, state, inp):
+        if self.gps[i].basis_fn_bl is not None:
+            return self.gps[i].basis_fn_bl(state, inp)
         return jax.vmap(
             lambda x: self.gps[i].basis_fn(x, inp), in_axes=-1, out_axes=-1
         )(state)

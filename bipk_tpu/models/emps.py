@@ -252,6 +252,7 @@ def make_model(
     )
     gp = GPNode(
         basis_fn=lambda state, inp: hb.eigen_fn(state[1]),
+        basis_fn_bl=lambda state, inp: hb.eigen_fn_bl(state[1]),
         prior=prior,
         init_mean=np.zeros(1),
         init_cov=P0_F,

@@ -121,6 +121,7 @@ def make_model(config: OscillatorConfig = OscillatorConfig()) -> OscillatorModel
     )
     gp = GPNode(
         basis_fn=lambda state, inp: hb.eigen_fn(state),
+        basis_fn_bl=lambda state, inp: hb.eigen_fn_bl(state),
         prior=prior,
         init_mean=np.zeros(1),
         init_cov=P0_F,

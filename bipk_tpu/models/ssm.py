@@ -99,6 +99,11 @@ class GPNode:
     prior: mniw.MNIW
     init_mean: np.ndarray
     init_cov: np.ndarray
+    # optional batch-last feature map ``(dx, N), (du,) -> (m, N)``: the
+    # sweeps prefer it over vmapping ``basis_fn`` (the vmap formulation
+    # lowers to compute-then-transpose on TPU, ~40 us/step/GP of pure
+    # relayout at N = 32768)
+    basis_fn_bl: Callable[[jax.Array, jax.Array], jax.Array] | None = None
 
     @property
     def out_dim(self) -> int:

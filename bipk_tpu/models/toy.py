@@ -81,6 +81,7 @@ def make_model(config: ToyConfig = ToyConfig()) -> ToyModel:
     )
     gp = GPNode(
         basis_fn=lambda state, inp: hb.eigen_fn(state),
+        basis_fn_bl=lambda state, inp: hb.eigen_fn_bl(state),
         prior=prior,
         init_mean=np.asarray(f_true(np.zeros(1))),
         init_cov=np.diag([config.sim_noise]),

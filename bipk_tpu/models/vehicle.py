@@ -161,6 +161,16 @@ def make_model(config: VehicleConfig = VehicleConfig()) -> VehicleModel:
         _, alpha_r = side_slip(state, inp)
         return hb.eigen_fn(alpha_r)
 
+    # batch-last variants: side_slip is plain broadcastable arithmetic,
+    # so it takes the (2, N) state directly
+    def basis_front_bl(state, inp):
+        alpha_f, _ = side_slip(state, inp)
+        return hb.eigen_fn_bl(alpha_f)
+
+    def basis_rear_bl(state, inp):
+        _, alpha_r = side_slip(state, inp)
+        return hb.eigen_fn_bl(alpha_r)
+
     def make_prior():
         return mniw.natural_from_standard(
             np.zeros((1, config.n_basis)),
@@ -181,11 +191,15 @@ def make_model(config: VehicleConfig = VehicleConfig()) -> VehicleModel:
     gps = tuple(
         GPNode(
             basis_fn=fn,
+            basis_fn_bl=fn_bl,
             prior=make_prior(),
             init_mean=np.zeros(1),
             init_cov=P0_MU,
         )
-        for fn in (basis_front, basis_rear)
+        for fn, fn_bl in (
+            (basis_front, basis_front_bl),
+            (basis_rear, basis_rear_bl),
+        )
     )
     return VehicleModel(config=config, ssm=ssm, gps=gps, basis=hb)
 

@@ -32,6 +32,7 @@ class HilbertBasis(NamedTuple):
     """A constructed basis: jittable feature map + prior spectral weights."""
 
     eigen_fn: Callable[[jax.Array], jax.Array]
+    eigen_fn_bl: Callable[[jax.Array], jax.Array]  # (d, N) -> (m, N)
     spectral_density: jax.Array  # (num_fcn,)
     sqrt_eigenvalues: np.ndarray  # (num_fcn, dims) host-side, for inspection
     centers: np.ndarray  # (dims,)
@@ -148,9 +149,41 @@ def make_hilbert_basis(
             jnp.sin(jnp.asarray(sqrt_eig, dtype=dt) * shifted), axis=-1
         )
 
+    def eigen_fn_bl(x_bl: jax.Array) -> jax.Array:
+        """Batch-last eigenfunction evaluation: ``(d, N) -> (m, N)``.
+
+        Same arithmetic as ``eigen_fn`` but vectorized over a trailing
+        particle axis directly — the ``vmap(..., in_axes=-1,
+        out_axes=-1)`` formulation lowers to compute-then-transpose on
+        TPU (~40 us/step of pure relayout per GP at N = 32768 in the
+        vehicle sweep profile); this form produces ``(m, N)`` natively.
+        """
+        x_bl = jnp.asarray(x_bl)
+        if x_bl.ndim == 1:
+            x_bl = x_bl[None, :]
+        dt = (
+            x_bl.dtype
+            if jnp.issubdtype(x_bl.dtype, jnp.floating)
+            else jnp.float32
+        )
+        shifted = (
+            x_bl.astype(dt)
+            - jnp.asarray(centers, dtype=dt)[:, None]
+            + jnp.asarray(half_widths, dtype=dt)[:, None]
+        )  # (d, N), position in [0, 2L]
+        prods = jnp.prod(
+            jnp.sin(
+                jnp.asarray(sqrt_eig, dtype=dt)[:, :, None]
+                * shifted[None, :, :]
+            ),
+            axis=1,
+        )  # (m, N)
+        return jnp.asarray(norm_val, dtype=dt) * prods
+
     density = se_spectral_density(sqrt_eig, magnitude, lengthscale)
     return HilbertBasis(
         eigen_fn=jax.jit(eigen_fn),
+        eigen_fn_bl=jax.jit(eigen_fn_bl),
         spectral_density=density,
         sqrt_eigenvalues=sqrt_eig,
         centers=centers,

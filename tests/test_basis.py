@@ -100,3 +100,29 @@ def test_gp_regression_recovers_smooth_function():
     fhat = phig @ A[0]
     rmse = float(jnp.sqrt(jnp.mean((fhat - f(grid)) ** 2)))
     assert rmse < 0.1, rmse
+
+
+def test_eigen_fn_bl_matches_vmapped():
+    """Batch-last eigenfunction == vmapped per-particle evaluation (the
+    sweeps' hot path uses the bl form to avoid compute-then-transpose)."""
+    for dims, n_fcn in ((1, 12), (2, 9)):
+        hb = basis_ops.make_hilbert_basis(
+            n_fcn,
+            np.array([[-5.0, 5.0]] * dims).squeeze()
+            if dims == 1
+            else np.array([[-5.0, 5.0], [-4.0, 4.0]]),
+            1.2,
+            1.0,
+        )
+        x = jax.random.uniform(
+            jax.random.key(dims), (dims, 257), jnp.float32, -4.0, 4.0
+        )
+        want = jax.vmap(hb.eigen_fn, in_axes=-1, out_axes=-1)(x)
+        got = hb.eigen_fn_bl(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6
+        )
+        # 1-D convenience: accepts (N,) too
+        if dims == 1:
+            got1 = hb.eigen_fn_bl(x[0])
+            np.testing.assert_allclose(np.asarray(got1), np.asarray(want))
