@@ -16,6 +16,10 @@ from bipk_tpu.algorithms import build_gibbs
 from bipk_tpu.models import toy
 from bipk_tpu.utils import diagnostics
 
+# multi-minute on the 1-vCPU CI host (mesh compiles, GSPMD,
+# subprocess fixtures); excluded from the core tier
+pytestmark = pytest.mark.slow
+
 N_PARTICLES = 50
 N_STEPS = 25
 N_ITER = 30

@@ -6,6 +6,12 @@ import numpy as np
 
 from bipk_tpu.utils import checkpoint
 
+import pytest
+
+# multi-minute on the 1-vCPU CI host (mesh compiles, GSPMD,
+# subprocess fixtures); excluded from the core tier
+pytestmark = pytest.mark.slow
+
 
 def test_roundtrip(tmp_path):
     path = str(tmp_path / "ckpt.pkl")

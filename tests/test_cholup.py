@@ -13,6 +13,10 @@ from bipk_tpu.ops import batched_linalg as bla
 from bipk_tpu.ops import cholup, mniw
 from bipk_tpu.utils.matio import sample_reference_trajectory
 
+# multi-minute on the 1-vCPU CI host (mesh compiles, GSPMD,
+# subprocess fixtures); excluded from the core tier
+pytestmark = pytest.mark.slow
+
 
 def _spd_stack(key, p, N, dtype=jnp.float64):
     X = jax.random.normal(key, (p, 3 * p, N), dtype)

@@ -11,6 +11,10 @@ from bipk_tpu.models import toy
 from bipk_tpu.ops import mniw
 from bipk_tpu.utils.matio import sample_reference_trajectory
 
+# multi-minute on the 1-vCPU CI host (mesh compiles, GSPMD,
+# subprocess fixtures); excluded from the core tier
+pytestmark = pytest.mark.slow
+
 N_PARTICLES = 60
 N_STEPS = 35
 N_ITER = 40

@@ -13,6 +13,10 @@ import sys
 import numpy as np
 import pytest
 
+# multi-minute on the 1-vCPU CI host (mesh compiles, GSPMD,
+# subprocess fixtures); excluded from the core tier
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_SMO_KEYS = {

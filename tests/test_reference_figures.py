@@ -19,6 +19,10 @@ import sys
 
 import pytest
 
+# multi-minute on the 1-vCPU CI host (mesh compiles, GSPMD,
+# subprocess fixtures); excluded from the core tier
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 DRIVER = os.path.join(REPO, "tests", "_ref_fig_driver.py")

@@ -15,6 +15,10 @@ from bipk_tpu.models import toy
 from bipk_tpu.parallel.mesh import particle_mesh
 from bipk_tpu.parallel.sharded import build_sharded_apf
 
+# multi-minute on the 1-vCPU CI host (mesh compiles, GSPMD,
+# subprocess fixtures); excluded from the core tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh8():

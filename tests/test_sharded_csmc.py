@@ -18,6 +18,10 @@ from bipk_tpu.parallel.mesh import particle_mesh
 from bipk_tpu.parallel.sharded_csmc import build_sharded_csmc
 from bipk_tpu.utils.matio import sample_reference_trajectory
 
+# multi-minute on the 1-vCPU CI host (mesh compiles, GSPMD,
+# subprocess fixtures); excluded from the core tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh8():
