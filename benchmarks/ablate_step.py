@@ -90,7 +90,9 @@ def main():
         # the stubs drop emitted factors; with BIPK_REUSE_FACTOR=1 the
         # 'full' row would reuse factors while these rows silently
         # refactorize, skewing the attribution
-        assert factors is None, "run the ablation with BIPK_REUSE_FACTOR unset"
+        assert factors is None or all(f is None for f in factors), (
+            "run the ablation with BIPK_REUSE_FACTOR unset"
+        )
         Ss_g = self.gather_packed(Ss, ancestors, sorted_indices=True)
         return self.draw_update_all_packed(key, Ss_g, lam, new_state, inp_cur)
 
@@ -103,7 +105,9 @@ def main():
     # statistics skip their in-kernel gather, small payloads skip XLA's
     def no_gather_du(self, key, Ss, ancestors, lam, new_state, inp_cur,
                      factors=None):
-        assert factors is None, "run the ablation with BIPK_REUSE_FACTOR unset"
+        assert factors is None or all(f is None for f in factors), (
+            "run the ablation with BIPK_REUSE_FACTOR unset"
+        )
         return self.draw_update_all_packed(key, Ss, lam, new_state, inp_cur)
 
     def identity_gather(tree, idx):
