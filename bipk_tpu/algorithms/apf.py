@@ -123,7 +123,15 @@ class APFKernel:
         )(state, *int_vars)
 
     def basis_all(self, i, state, inp):
-        if self.gps[i].basis_fn_bl is not None:
+        # The batch-last basis looks like strictly less work (no
+        # compute-then-transpose) but measured 0.79 -> 0.99 s/sweep on
+        # the vehicle Gibbs bench — the (m, d, N) product intermediate
+        # breaks XLA's fusion around the cSMC ancestor-weight graph —
+        # while staying neutral on the APF headline. Opt-in for
+        # re-evaluation on future compilers.
+        if self.gps[i].basis_fn_bl is not None and os.environ.get(
+            "BIPK_BL_BASIS"
+        ):
             return self.gps[i].basis_fn_bl(state, inp)
         return jax.vmap(
             lambda x: self.gps[i].basis_fn(x, inp), in_axes=-1, out_axes=-1
@@ -334,7 +342,8 @@ class APFKernel:
         return aux_state, aux_iv, ll_aux + log_weights, ll_aux, fps, lws
 
     def draw_update_gather_all_packed(
-        self, key, Ss, ancestors, lam, new_state, inp_cur, factors=None
+        self, key, Ss, ancestors, lam, new_state, inp_cur, factors=None,
+        fused=None,
     ):
         """:meth:`draw_update_all_packed` with the resampling gather fused
         into the kernel: takes the PRE-resampling packed statistics plus
@@ -342,7 +351,9 @@ class APFKernel:
         never exist in HBM (see ``mniw.draw_update_gather_packed_bl``).
         ``factors`` (from :meth:`auxiliary_fused_packed_f`) lets the
         kernel reuse the auxiliary factorization instead of re-deriving
-        it."""
+        it. ``fused=False`` forces the unconditional separate-gather
+        path (no lax.cond — the chunked 1M mode pays ~2.4 ms of cond
+        overhead + boundary copies PER CHUNK otherwise)."""
         new_basis = tuple(
             self.basis_all(i, new_state, inp_cur) for i in range(self.n_gp)
         )
@@ -353,6 +364,7 @@ class APFKernel:
                 prior=self.priors[i], lam=lam, m=self.ms[i], n=self.ns[i],
                 use_pallas=self.use_pallas,
                 factor=None if factors is None else factors[i],
+                fused=fused,
             )
             for i in range(self.n_gp)
         )

@@ -823,11 +823,14 @@ def factorize_project_packed_bl(
             emit_factor=emit,
         )
         mean, col, row, ld1, ldp = out[:5]
-        df = S[-1] * lam + (prior.T3 if prior is not None else 0.0)
+        t3 = S[-1].reshape(-1) if S.ndim == 3 else S[-1]
+        df = t3 * lam + (prior.T3 if prior is not None else 0.0)
         fp = ProjectedFactor(mean, col, row, ld1, ldp, df)
         if emit_factor:
             return fp, (out[5] if emit else None)
         return fp
+    if S.ndim == 3:
+        S = S.reshape(S.shape[0], -1)
     fp = factorize_project_bl(
         unpack_stats_bl(S, m, n), phi, prior=prior, lam=lam, jitter=jitter,
         use_pallas=False,
@@ -872,12 +875,15 @@ def draw_update_packed_bl(
         )
         p3 = float(prior.T3) if prior is not None else 0.0
         key_u, key_v = jax.random.split(key)
-        u = jax.random.uniform(key_u, (n,) + S.shape[-1:], S.dtype)
-        v = jax.random.uniform(key_v, (n,) + S.shape[-1:], S.dtype)
+        np_ = pallas_kernels.blocked_particles(S)
+        u = jax.random.uniform(key_u, (n, np_), S.dtype)
+        v = jax.random.uniform(key_v, (n, np_), S.dtype)
         return pallas_kernels.draw_update_packed_blocks(
             S, phi, u, v, float(jitter), float(lam), prior_blocks,
             p3=p3, m=m, n=n,
         )
+    if S.ndim == 3:
+        S = S.reshape(S.shape[0], -1)
     stats = unpack_stats_bl(S, m, n)
     fp = factorize_project_bl(
         stats, phi, prior=prior, lam=lam, jitter=jitter, use_pallas=False
@@ -947,7 +953,7 @@ def draw_update_gather_packed_bl(
         )
     from bipk_tpu.ops import pallas_kernels as pk
 
-    n_in = S.shape[-1]
+    n_in = pk.blocked_particles(S)
     N = ancestors.shape[-1]
     total_in = -(-n_in // 128) * 128
     block, wt, use_cs = pk.gather_plan(m, n, total_in, S.dtype)
@@ -956,7 +962,8 @@ def draw_update_gather_packed_bl(
     if not fused:
         # UNCONDITIONAL path (see docstring): sorted XLA gather + fused
         # draw/update kernel — no lax.cond, no 30-MB boundary copies
-        S_g = jnp.take(S, ancestors, axis=-1, indices_are_sorted=True)
+        S_flat = S.reshape(S.shape[0], -1) if S.ndim == 3 else S
+        S_g = jnp.take(S_flat, ancestors, axis=-1, indices_are_sorted=True)
         return draw_update_packed_bl(
             key, S_g, phi, prior=prior, lam=lam, m=m, n=n, jitter=jitter,
             use_pallas=use_pallas,
@@ -968,7 +975,8 @@ def draw_update_gather_packed_bl(
         if total != N else anc
     )
     w, fits = pk.window_starts(
-        anc_padded, total_in, block=block, window_tiles=wt
+        anc_padded, total_in, block=block, window_tiles=wt,
+        align=8 if S.ndim == 3 else 1,
     )
 
     prior_blocks = (
@@ -1003,18 +1011,24 @@ def draw_update_gather_packed_bl(
         # (232, 2048) column gather from the row-major (232, N) layout
         # reads one ~512 B burst per row per column — ~64x HBM
         # amplification, 287 us for 1.9 MB of payload. The TILE-dedup
-        # kernel below avoids both and handles almost every degenerate
-        # step; this path only fires when some block's ancestors touch
-        # more than the dedup window's distinct-tile budget.
-        S_g = jnp.take(S, anc, axis=-1, indices_are_sorted=True)
-        return pk.draw_update_packed_blocks(
+        # kernel avoids both and handles almost every degenerate step
+        # when enabled; by default this path fires whenever the
+        # contiguous window overflows.
+        S_flat = S.reshape(S.shape[0], -1) if S.ndim == 3 else S
+        S_g = jnp.take(S_flat, anc, axis=-1, indices_are_sorted=True)
+        S_new, y_, l1_, lp_ = pk.draw_update_packed_blocks(
             S_g, phi, u, v, float(jitter), float(lam), prior_blocks,
             p3=p3, m=m, n=n,
         )
+        if S.ndim == 3:
+            # the blocked-carry cond branches must return matching shapes
+            S_new = S_new.reshape(S.shape[0], -1, 128)
+        return S_new, y_, l1_, lp_
 
     if (
         use_cs
         or use_factor
+        or S.ndim == 3  # dedup wrapper not taught the blocked carry yet
         or not pk.dedup_supported(total_in)
         or not os.environ.get("BIPK_DEDUP_GATHER")
     ):

@@ -107,11 +107,32 @@ def _pad_last(x, total):
 
 def _blockify(x, total, tiled=True):
     """Pad the trailing particle axis and, for the tiled layout, split it
-    into (rows, lanes) so kernel values are full (8, 128) tiles."""
+    into (rows, lanes) so kernel values are full (8, 128) tiles.
+
+    Inputs that already carry the blocked ``(..., nb, 128)`` particle
+    layout pass through untouched — on TPU the 2-D<->blocked reshape is a
+    PHYSICAL relayout (different (8, 128) tiling), ~40 us per 30 MB
+    statistics matrix per step in the vehicle sweep; carrying the scan
+    state pre-blocked eliminates it (see ``blocked`` in
+    ``parallel/sharded.py``)."""
+    if tiled and x.ndim == 3 and x.shape[-1] == _LANES:
+        assert x.shape[-2] * _LANES == total, (x.shape, total)
+        return x
     x = _pad_last(x, total)
     if tiled:
         return x.reshape(x.shape[:-1] + (total // _LANES, _LANES))
     return x
+
+
+def is_blocked(x) -> bool:
+    """Whether a packed-statistics array carries the pre-blocked
+    ``(rows, nb, 128)`` particle layout."""
+    return x.ndim == 3 and x.shape[-1] == _LANES
+
+
+def blocked_particles(x) -> int:
+    """Particle count of a possibly pre-blocked batch-last array."""
+    return x.shape[-2] * _LANES if is_blocked(x) else x.shape[-1]
 
 
 def _spec(lead, tiled=True):
@@ -797,6 +818,10 @@ def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
     ``_GATHER_STATIC_ROUNDS`` source tiles) divert to a conditional
     dynamic tail loop.
     """
+    # the window ref is either a 2-D (rows, win_lanes) lane slice or a
+    # 3-D (rows, wt, 128) tile slice of the pre-blocked statistics (the
+    # blocked scan carry: no relayout copy between carry and kernel)
+    three_d = len(s_win_ref.shape) == 3
     for tau in range(_ROWS):
         a_lo = anc_ref[tau, 0]
         a_hi = anc_ref[tau, 127]
@@ -806,20 +831,29 @@ def _windowed_gather_to_scratch(s_win_ref, anc_ref, ws, scratch_ref, rows):
         anc_row = anc_ref[tau, :].reshape(1, 128) - ws
         rel = jnp.broadcast_to(anc_row, (rows, 128))
 
-        win_lanes = s_win_ref.shape[1]
+        win_tiles = s_win_ref.shape[1] if three_d else None
+        win_lanes = None if three_d else s_win_ref.shape[1]
 
         def round_body(k, acc, _t_lo=t_lo, _rel=rel):
-            # window-relative lane offset of source tile t_lo + k, written
-            # as an explicit x128 product so Mosaic can prove alignment;
-            # clamped to the window so masked no-op rounds (k beyond the
-            # span) never read past the buffer
-            off = pl.multiple_of(
-                jnp.minimum(
-                    ((_t_lo - ws // 128) + k) * 128, win_lanes - 128
-                ),
-                128,
-            )
-            src = s_win_ref[:, pl.ds(off, 128)]
+            if three_d:
+                # window-tile index (ws is tile-aligned), clamped so
+                # masked no-op rounds never read past the buffer
+                t_idx = jnp.minimum(
+                    (_t_lo - ws // 128) + k, win_tiles - 1
+                )
+                src = s_win_ref[:, t_idx, :]
+                off = t_idx * 128
+            else:
+                # window-relative lane offset of source tile t_lo + k,
+                # written as an explicit x128 product so Mosaic can prove
+                # alignment; clamped to the window
+                off = pl.multiple_of(
+                    jnp.minimum(
+                        ((_t_lo - ws // 128) + k) * 128, win_lanes - 128
+                    ),
+                    128,
+                )
+                src = s_win_ref[:, pl.ds(off, 128)]
             idx = _rel - off  # lane index within the source tile
             take = jnp.take_along_axis(
                 src, jnp.clip(idx, 0, 127), axis=1
@@ -941,21 +975,29 @@ _GATHER_STATIC_ROUNDS = int(os.environ.get("BIPK_GATHER_STATIC", "2"))
 
 def window_starts(
     ancestors: jax.Array, n_in_padded: int, block: int = _BLOCK,
-    window_tiles: int | None = None,
+    window_tiles: int | None = None, align: int = 1,
 ):
     """Per-output-block window starts (in 128-lane tiles) + whether every
     block's ancestors fit its window. ``ancestors`` is the padded
     non-decreasing ancestor vector (one entry per padded OUTPUT particle,
     values indexing the ``n_in_padded``-column source). ``block`` is the
     kernel's output-block width (1024 for the tiled layout; the cs lane
-    block otherwise) and ``window_tiles`` its window width."""
+    block otherwise) and ``window_tiles`` its window width. ``align``
+    floors starts to a tile multiple — the blocked (rows, nb, 128) carry
+    physically tiles 8 consecutive nb entries, so its windows must start
+    at 8-tile boundaries (Mosaic rejects unaligned Element offsets)."""
     nb = ancestors.shape[0] // block
     wt = window_tiles or _GATHER_WINDOW_TILES
     wt = min(wt, n_in_padded // _LANES)
     a = ancestors.reshape(nb, block)
     first = jax.lax.shift_right_logical(a[:, 0], jnp.int32(7))
     last = jax.lax.shift_right_logical(a[:, -1], jnp.int32(7))
-    w = jnp.clip(first, 0, n_in_padded // _LANES - wt)
+    if align > 1:
+        first = (first // align) * align
+    lim = n_in_padded // _LANES - wt
+    if align > 1:
+        lim = (lim // align) * align
+    w = jnp.clip(first, 0, lim)
     fits = jnp.all(last - w < wt)
     return w.astype(jnp.int32), fits
 
@@ -1015,11 +1057,13 @@ def draw_update_gather_packed_blocks(
     """
     rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     assert S.shape[0] == rows, (S.shape, rows)
-    n_in = S.shape[-1]
+    blocked = is_blocked(S)
+    n_in = blocked_particles(S)
     N = ancestors.shape[-1]
     total_in = -(-n_in // _LANES) * _LANES
     block, wt, use_cs = gather_plan(m, n, total_in, S.dtype)
     if use_cs:
+        assert not blocked, "blocked carry requires the tiled layout"
         return _cs_du_gather_call(
             S, ancestors, w, phi, u, v, jitter, lam, prior, p3, m, n,
             rows=rows, block=block, wt=wt, total_in=total_in,
@@ -1044,8 +1088,27 @@ def draw_update_gather_packed_blocks(
         anc = jnp.pad(anc, (0, total - N), constant_values=n_in - 1)
     anc_blocked = anc.reshape(total // _LANES, _LANES)
 
-    S_pad = _pad_last(S, total_in)
-    if win == total_in:
+    S_pad = S if blocked else _pad_last(S, total_in)
+    if blocked:
+        if win == total_in:
+            s_spec = pl.BlockSpec(
+                (rows, total_in // _LANES, _LANES),
+                lambda i, w_ref: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            from jax._src.pallas import core as pallas_core
+
+            s_spec = pl.BlockSpec(
+                (
+                    pallas_core.Element(rows),
+                    pallas_core.Element(win // _LANES),
+                    pallas_core.Element(_LANES),
+                ),
+                lambda i, w_ref: (0, pl.multiple_of(w_ref[i], 8), 0),
+                memory_space=pltpu.VMEM,
+            )
+    elif win == total_in:
         # whole (padded) array fits one window: plain full-array spec (no
         # Element indexing; also the interpreter-mode path for CPU CI)
         s_spec = pl.BlockSpec(
@@ -1111,7 +1174,8 @@ def draw_update_gather_packed_blocks(
         _blockify(u, total),
         _blockify(v, total),
     )
-    snew = _unblock(snew, N)
+    if not blocked:
+        snew = _unblock(snew, N)
     y = _unblock(y, N)
     ld = _unblock(ld, N)
     return snew, y, ld[0], ld[1]
@@ -1691,11 +1755,12 @@ def factorize_project_packed(S, phi, jitter: float, lam: float = 1.0,
     """
     rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     assert S.shape[0] == rows, (S.shape, rows)
-    N = S.shape[-1]
+    N = blocked_particles(S)
     assert supported_small_out(m), f"m={m} exceeds the fused-kernel budget"
 
     has_prior = prior is not None
     if _cs_layout(m):
+        assert not is_blocked(S), "blocked carry requires the tiled layout"
         assert not emit_factor, "emit_factor requires the tiled layout"
         lb = _cs_lanes(rows, S.dtype)
         if has_prior:
@@ -1796,13 +1861,14 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
     """
     rows = m * n + m * (m + 1) // 2 + n * (n + 1) // 2 + 1
     assert S.shape[0] == rows, (S.shape, rows)
-    N = S.shape[-1]
+    N = blocked_particles(S)
     assert supported_small_out(m), (
         f"m={m} exceeds the fused draw-update budget"
     )
 
     has_prior = prior is not None
     if _cs_layout(m):
+        assert not is_blocked(S), "blocked carry requires the tiled layout"
         lb = _cs_lanes(rows, S.dtype)
         if has_prior:
             ppk = _cs_pack_prior(*prior, m, n, rows, S.dtype)
@@ -1864,7 +1930,8 @@ def draw_update_packed_blocks(S, phi, u, v, jitter: float, lam: float = 1.0,
         _blockify(u, total, tiled),
         _blockify(v, total, tiled),
     )
-    snew = _unblock(snew, N, tiled)
+    if not is_blocked(S):
+        snew = _unblock(snew, N, tiled)
     y = _unblock(y, N, tiled)
     ld = _unblock(ld, N, tiled)
     return snew, y, ld[0], ld[1]

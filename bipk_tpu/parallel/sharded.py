@@ -77,6 +77,7 @@ def build_sharded_apf(
     resampling_scheme: str = "local",
     chunk_size: int | None = None,
     window: int | None = None,
+    blocked_carry: bool | None = None,
 ):
     """Build the particle-sharded online APF sweep.
 
@@ -99,6 +100,7 @@ def build_sharded_apf(
             f"resampling_scheme must be 'local' or 'exact', "
             f"got {resampling_scheme!r}"
         )
+    from bipk_tpu.ops import pallas_kernels as _pk
     kern = APFKernel(ssm, gps, dtype)
     n_gp = kern.n_gp
     n_dev = mesh.devices.size
@@ -127,9 +129,52 @@ def build_sharded_apf(
                 f"chunk_size {chunk_size}"
             )
 
+    # BLOCKED statistics carry: ride the scan as (rows, nb, 128) — the
+    # exact layout the fused kernels read and write — instead of
+    # (rows, N). On TPU the 2-D<->blocked reshape is a PHYSICAL relayout
+    # (different (8, 128) tiling), and the profiler shows XLA inserting
+    # one ~40 us copy per 30 MB statistics matrix on BOTH sides of the
+    # kernels every step (~150 us/step on the vehicle sweep). Blocked
+    # carries need the tiled-layout kernels and the plain (non-chunked,
+    # non-windowed, local-scheme) path.
+    # Measured on the vehicle headline (round 5, v5e): blocked carry
+    # cuts the dispatch-conditional overhead 591 -> 236 us/step, but the
+    # XLA-fallback branch must relayout flat<->blocked in-branch
+    # (~230 us/step at the 66% fallback rate) and the 2-axis weighted-
+    # moment reduction lowers worse (+40 us/step): net 31.1 -> 27.7M
+    # psps. Default OFF; kept as a bitwise-validated opt-in — a
+    # blocked-native degenerate-weight gather (8-aligned dedup groups)
+    # would flip the sign and is the natural next step.
+    if blocked_carry is None:
+        blocked_carry = False
+    blocked = bool(blocked_carry) and (
+        chunk_size is None
+        and window is None
+        and resampling_scheme == "local"
+        and n_loc % 1024 == 0
+        and _pk.enabled()
+        and all(
+            _pk.supported(m_) and not _pk._cs_layout(m_)
+            for m_ in kern.ms
+        )
+        and all(n_ <= 2 for n_ in kern.ns)
+    )
+
+    def pack_carry(st_tuple):
+        packed = tuple(mniw.pack_stats_bl(st) for st in st_tuple)
+        if blocked:
+            packed = tuple(
+                S.reshape(S.shape[0], -1, 128) for S in packed
+            )
+        return packed
+
+    def flat_S(S):
+        return S.reshape(S.shape[0], -1) if S.ndim == 3 else S
+
     def reduce_moments(w_global, state, int_vars, Ss):
         """Weighted moment reductions; ``Ss`` is the packed statistics
-        carry (one (rows, N) matrix per GP) or structured MNIW tuples."""
+        carry (one (rows, N) or blocked (rows, nb, 128) matrix per GP)
+        or structured MNIW tuples."""
         sm = jax.lax.psum(
             jnp.tensordot(state, w_global, axes=(-1, 0)), PARTICLE_AXIS
         )
@@ -142,9 +187,12 @@ def build_sharded_apf(
         if Ss and isinstance(Ss[0], jax.Array):
             stm = []
             for i, S in enumerate(Ss):
-                red = jax.lax.psum(
-                    jnp.tensordot(S, w_global, axes=(-1, 0)), PARTICLE_AXIS
-                )
+                if S.ndim == 3:
+                    wb = w_global.reshape(S.shape[1], S.shape[2])
+                    red = jnp.tensordot(S, wb, axes=((1, 2), (0, 1)))
+                else:
+                    red = jnp.tensordot(S, w_global, axes=(-1, 0))
+                red = jax.lax.psum(red, PARTICLE_AXIS)
                 stm.append(mniw.unpack_reduced(red, kern.ms[i], kern.ns[i]))
             stm = tuple(stm)
         else:
@@ -312,10 +360,13 @@ def build_sharded_apf(
             # fused gather+draw/update: the chunk's statistics columns
             # are read from the FULL population inside the kernel
             # (N_out = chunk < N_in = n_loc)
+            # unconditional separate-gather path: a lax.cond per chunk
+            # costs ~2.4 ms of dispatch overhead + GB-scale boundary
+            # copies (profiled: 133 of the 230 ms/step at 1M particles)
             new_Ss_c, new_iv_c, _, _ = (
                 kern.draw_update_gather_all_packed(
                     kc_iv, Ss, idx_c, forgetting_factor,
-                    new_state_c, inp_cur,
+                    new_state_c, inp_cur, fused=False,
                 )
             )
             ll_new_c = kern.log_lik_all(
@@ -368,14 +419,14 @@ def build_sharded_apf(
         # (see bipk_tpu.algorithms.apf)
         carry0 = (
             log_weights, state, int_vars,
-            tuple(mniw.pack_stats_bl(st) for st in stats),
+            pack_carry(stats),
         )
         step_fn = step if chunk_size is None else step_chunked
         carry, (sm, ivm, stm, ess) = jax.lax.scan(step_fn, carry0, xs)
         final_log_w, final_state, _, final_Ss = carry
         final_stats = tuple(
             mniw.from_flat_bl(
-                mniw.unpack_stats_bl(S, kern.ms[i], kern.ns[i]),
+                mniw.unpack_stats_bl(flat_S(S), kern.ms[i], kern.ns[i]),
                 kern.ms[i], kern.ns[i],
             )
             for i, S in enumerate(final_Ss)

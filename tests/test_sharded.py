@@ -343,3 +343,43 @@ def test_windowed_sharded_apf_matches_single_dispatch(mesh8, toy_setup):
         np.testing.assert_allclose(
             np.asarray(a.T1), np.asarray(b.T1), rtol=1e-9, atol=1e-9
         )
+
+
+def test_blocked_carry_bitwise_matches_flat():
+    """The opt-in blocked (rows, nb, 128) statistics carry is bitwise
+    identical to the flat (rows, N) carry (same RNG, same kernels — only
+    the scan-carry layout differs). Runs under the Pallas interpreter so
+    the kernels actually execute on this CPU host."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("BIPK_PALLAS_INTERPRET"):
+        pytest.skip("needs BIPK_PALLAS_INTERPRET=1 (kernel layouts)")
+    from bipk_tpu.models import vehicle as veh
+    from bipk_tpu.parallel.mesh import particle_mesh
+    from bipk_tpu.parallel.sharded import build_sharded_apf
+
+    cfg = veh.VehicleConfig(t_end=4 * 0.02)
+    model = veh.make_model(cfg)
+    key = jax.random.key(0)
+    _, Y, _, _, inputs = veh.simulate(key, cfg, dtype=jnp.float32)
+    outs = {}
+    for blocked in (False, True):
+        run = jax.jit(
+            build_sharded_apf(
+                model.ssm, model.gps, 1024, particle_mesh(1),
+                forgetting_factor=cfg.forgetting_factor,
+                dtype=jnp.float32, blocked_carry=blocked,
+            )
+        )
+        outs[blocked] = run(
+            key, Y, inputs,
+            jnp.asarray(model.x0, jnp.float32),
+            jnp.asarray(model.p0, jnp.float32),
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[False]),
+        jax.tree_util.tree_leaves(outs[True]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
