@@ -958,7 +958,19 @@ def draw_update_gather_packed_bl(
     total_in = -(-n_in // 128) * 128
     block, wt, use_cs = pk.gather_plan(m, n, total_in, S.dtype)
     if fused is None:
-        fused = not os.environ.get("BIPK_SEPARATE_GATHER")
+        if os.environ.get("BIPK_SEPARATE_GATHER"):
+            fused = False
+        elif os.environ.get("BIPK_FUSED_GATHER"):
+            fused = True
+        else:
+            # shape-dependent default, measured round 5 (v5e): at
+            # N = 32768 the fused dispatch wins (31.1 vs 28.3M psps);
+            # at N = 10240 (the Gibbs/cSMC configuration) the
+            # unconditional separate path wins (0.68 vs 0.79 s/sweep) —
+            # the lax.cond boundary copies shrink with N but the cond
+            # overhead does not. The cs layout (m > 24) always wants
+            # the fused kernels (16.0 vs 10.4M psps on the SMO bench).
+            fused = use_cs or n_in > 16384
     if not fused:
         # UNCONDITIONAL path (see docstring): sorted XLA gather + fused
         # draw/update kernel — no lax.cond, no 30-MB boundary copies
