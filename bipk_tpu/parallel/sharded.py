@@ -33,6 +33,7 @@ final particle population stays sharded for chaining.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -147,6 +148,34 @@ def build_sharded_apf(
     # would flip the sign and is the natural next step.
     if blocked_carry is None:
         blocked_carry = False
+
+    # SINGLE-DEVICE fast path: on a 1-device mesh the shard_map wrapper
+    # and its singleton collectives are semantically free but not
+    # cost-free — the separate-gather configuration measured 28.3M psps
+    # sharded vs 30.1M unsharded on the vehicle headline (round-5
+    # ledger, one v5e chip). With one device and the local scheme the
+    # sweep body is called directly: ``axis_index`` pins to 0 (same RNG
+    # fold-in as shard 0 of the mesh run) and psum/pmax are identities,
+    # so results are bitwise-identical to the 1-device shard_map run
+    # (guarded by tests/test_sharded.py). ``BIPK_FORCE_SHARDMAP=1``
+    # restores the wrapper for A/B.
+    single = (
+        n_dev == 1
+        and resampling_scheme == "local"
+        and not os.environ.get("BIPK_FORCE_SHARDMAP")
+    )
+
+    def axidx():
+        return jnp.int32(0) if single else jax.lax.axis_index(PARTICLE_AXIS)
+
+    def psum(x):
+        return x if single else jax.lax.psum(x, PARTICLE_AXIS)
+
+    def softmax_g(lw):
+        if not single:
+            return _global_softmax(lw)
+        e = jnp.exp(lw - jnp.max(lw))
+        return e / jnp.sum(e)
     blocked = bool(blocked_carry) and (
         chunk_size is None
         and window is None
@@ -175,13 +204,9 @@ def build_sharded_apf(
         """Weighted moment reductions; ``Ss`` is the packed statistics
         carry (one (rows, N) or blocked (rows, nb, 128) matrix per GP)
         or structured MNIW tuples."""
-        sm = jax.lax.psum(
-            jnp.tensordot(state, w_global, axes=(-1, 0)), PARTICLE_AXIS
-        )
+        sm = psum(jnp.tensordot(state, w_global, axes=(-1, 0)))
         ivm = tuple(
-            jax.lax.psum(
-                jnp.tensordot(iv, w_global, axes=(-1, 0)), PARTICLE_AXIS
-            )
+            psum(jnp.tensordot(iv, w_global, axes=(-1, 0)))
             for iv in int_vars
         )
         if Ss and isinstance(Ss[0], jax.Array):
@@ -192,25 +217,24 @@ def build_sharded_apf(
                     red = jnp.tensordot(S, wb, axes=((1, 2), (0, 1)))
                 else:
                     red = jnp.tensordot(S, w_global, axes=(-1, 0))
-                red = jax.lax.psum(red, PARTICLE_AXIS)
+                red = psum(red)
                 stm.append(mniw.unpack_reduced(red, kern.ms[i], kern.ns[i]))
             stm = tuple(stm)
         else:
             stm = tuple(
                 jax.tree_util.tree_map(
-                    lambda s: jax.lax.psum(
-                        jnp.tensordot(s, w_global, axes=(-1, 0)),
-                        PARTICLE_AXIS,
+                    lambda s: psum(
+                        jnp.tensordot(s, w_global, axes=(-1, 0))
                     ),
                     st,
                 )
                 for st in Ss
             )
-        ess = 1.0 / jax.lax.psum(jnp.sum(w_global * w_global), PARTICLE_AXIS)
+        ess = 1.0 / psum(jnp.sum(w_global * w_global))
         return sm, ivm, stm, ess
 
     def step(carry, xs):
-        shard = jax.lax.axis_index(PARTICLE_AXIS)
+        shard = axidx()
         log_weights, state, int_vars, Ss = carry
         obs, inp_prev, inp_cur, key = xs  # key: shared across shards
         key_res, key_draws = jax.random.split(key)
@@ -227,7 +251,7 @@ def build_sharded_apf(
             )
         )
 
-        w_global = _global_softmax(lw_aux)
+        w_global = softmax_g(lw_aux)
         if resampling_scheme == "exact":
             # exact global systematic resampling + ring payload fetch
             # (factors are recomputed from the redistributed statistics
@@ -278,7 +302,7 @@ def build_sharded_apf(
         ll_new = kern.log_lik_all(obs, new_state, inp_cur, new_iv)
         new_log_weights = ll_new - ll_aux_r + offset
 
-        w_new = _global_softmax(new_log_weights)
+        w_new = softmax_g(new_log_weights)
         moments = reduce_moments(w_new, new_state, new_iv, Ss_new)
         return (new_log_weights, new_state, new_iv, Ss_new), moments
 
@@ -287,7 +311,7 @@ def build_sharded_apf(
         scheme) with per-particle temporaries capped at one chunk.
         Statistics ride the carry packed (one (rows, N) matrix per
         GP)."""
-        shard = jax.lax.axis_index(PARTICLE_AXIS)
+        shard = axidx()
         log_weights, state, int_vars, Ss = carry
         obs, inp_prev, inp_cur, key = xs
         key_res, key_draws = jax.random.split(key)
@@ -329,7 +353,7 @@ def build_sharded_apf(
         )
         lw_aux = ll_aux + log_weights
 
-        w_global = _global_softmax(lw_aux)
+        w_global = softmax_g(lw_aux)
         shard_mass = jnp.sum(w_global)
         w_local = w_global / jnp.maximum(shard_mass, 1e-30)
         ancestors = resampling.systematic(
@@ -391,7 +415,7 @@ def build_sharded_apf(
             )
         )
 
-        w_new = _global_softmax(new_log_weights)
+        w_new = softmax_g(new_log_weights)
         moments = reduce_moments(w_new, new_state, new_iv, new_Ss)
         return (new_log_weights, new_state, new_iv, new_Ss), moments
 
@@ -404,7 +428,7 @@ def build_sharded_apf(
         everywhere); anything drawing shard-local randomness folds in the
         shard index first.
         """
-        shard = jax.lax.axis_index(PARTICLE_AXIS)
+        shard = axidx()
 
         key, key_init = jax.random.split(key)
         log_weights, state, int_vars, stats = kern.init_particles(
@@ -432,7 +456,7 @@ def build_sharded_apf(
             for i, S in enumerate(final_Ss)
         )
 
-        w0 = _global_softmax(log_weights)
+        w0 = softmax_g(log_weights)
         sm0, ivm0, stm0, ess0 = reduce_moments(w0, state, int_vars, stats)
         state_mean = jnp.concatenate([sm0[None], sm])
         iv_mean = tuple(
@@ -468,7 +492,7 @@ def build_sharded_apf(
     )
     iv_spec = tuple(P() for _ in range(n_gp))
     stats_mean_spec = tuple(mniw.MNIW(P(), P(), P(), P()) for _ in range(n_gp))
-    sharded = shard_map(
+    sharded = sweep if single else shard_map(
         sweep,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
@@ -520,12 +544,12 @@ def build_sharded_apf(
     moments_spec = (P(), iv_spec, stats_mean_spec, P())
 
     def init_shard(key_init, inputs0, init_mean, init_cov):
-        shard = jax.lax.axis_index(PARTICLE_AXIS)
+        shard = axidx()
         log_weights, state, int_vars, stats = kern.init_particles(
             jax.random.fold_in(key_init, shard), n_loc,
             inputs0, init_mean, init_cov,
         )
-        w0 = _global_softmax(log_weights)
+        w0 = softmax_g(log_weights)
         m0 = reduce_moments(w0, state, int_vars, stats)
         carry = (
             log_weights, state, int_vars,
@@ -533,7 +557,7 @@ def build_sharded_apf(
         )
         return carry, m0
 
-    init_sharded = jax.jit(shard_map(
+    init_sharded = jax.jit(init_shard) if single else jax.jit(shard_map(
         init_shard, mesh=mesh, in_specs=(P(), P(), P(), P()),
         out_specs=(carry_spec, moments_spec), check_vma=False,
     ))
@@ -545,7 +569,7 @@ def build_sharded_apf(
             _step_fn, carry, (obs_w, inp_prev_w, inp_cur_w, keys_w)
         )
 
-    window_sharded = jax.jit(shard_map(
+    window_sharded = jax.jit(window_shard) if single else jax.jit(shard_map(
         window_shard, mesh=mesh,
         in_specs=(carry_spec, P(), P(), P(), P()),
         out_specs=(carry_spec, moments_spec),
@@ -563,11 +587,13 @@ def build_sharded_apf(
         )
         return final_state.T, final_log_w, tuple(final_stats)
 
-    finalize_sharded = jax.jit(shard_map(
-        finalize_shard, mesh=mesh, in_specs=(carry_spec,),
-        out_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS), stats_spec),
-        check_vma=False,
-    ))
+    finalize_sharded = jax.jit(finalize_shard) if single else jax.jit(
+        shard_map(
+            finalize_shard, mesh=mesh, in_specs=(carry_spec,),
+            out_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS), stats_spec),
+            check_vma=False,
+        )
+    )
 
     def run_windowed(
         key, observations, inputs, init_state_mean, init_state_cov
