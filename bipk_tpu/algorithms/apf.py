@@ -358,16 +358,52 @@ class APFKernel:
             self.basis_all(i, new_state, inp_cur) for i in range(self.n_gp)
         )
         keys = jax.random.split(key, self.n_gp)
-        outs = tuple(
-            mniw.draw_update_gather_packed_bl(
-                keys[i], Ss[i], ancestors, new_basis[i],
-                prior=self.priors[i], lam=lam, m=self.ms[i], n=self.ns[i],
-                use_pallas=self.use_pallas,
-                factor=None if factors is None else factors[i],
-                fused=fused,
+        outs = None
+        if fused is None and self.n_gp > 1 and os.environ.get(
+            "BIPK_MERGED_COND"
+        ):
+            # MERGED dispatch (opt-in, measured NEUTRAL on the vehicle
+            # headline: 30.95M psps merged vs 31.12M per-GP, within day
+            # variance — XLA evidently already CSEs the identical fits
+            # predicates across the per-GP conds): every GP shares the
+            # SAME ancestor vector, so their windowed-gather `fits`
+            # predicates are identical — one lax.cond over all GPs
+            # instead of one per GP, with unchanged branch bodies (fused
+            # and fallback are bitwise-identical computations, so an
+            # AND-of-fits dispatch is result-preserving even if
+            # predicates ever diverged). Kept for re-testing on future
+            # compilers where cond fixed overhead dominates.
+            parts = [
+                mniw.draw_update_gather_packed_bl(
+                    keys[i], Ss[i], ancestors, new_basis[i],
+                    prior=self.priors[i], lam=lam, m=self.ms[i],
+                    n=self.ns[i], use_pallas=self.use_pallas,
+                    factor=None if factors is None else factors[i],
+                    fused=fused, _parts=True,
+                )
+                for i in range(self.n_gp)
+            ]
+            if all(p is not None for p in parts):
+                fits_all = parts[0][0]
+                for p in parts[1:]:
+                    fits_all = jnp.logical_and(fits_all, p[0])
+                outs = jax.lax.cond(
+                    fits_all,
+                    lambda _: tuple(p[1](None) for p in parts),
+                    lambda _: tuple(p[2](None) for p in parts),
+                    None,
+                )
+        if outs is None:
+            outs = tuple(
+                mniw.draw_update_gather_packed_bl(
+                    keys[i], Ss[i], ancestors, new_basis[i],
+                    prior=self.priors[i], lam=lam, m=self.ms[i],
+                    n=self.ns[i], use_pallas=self.use_pallas,
+                    factor=None if factors is None else factors[i],
+                    fused=fused,
+                )
+                for i in range(self.n_gp)
             )
-            for i in range(self.n_gp)
-        )
         Ss_new = tuple(o[0] for o in outs)
         new_iv = tuple(o[1] for o in outs)
         lds = tuple((o[2], o[3]) for o in outs)

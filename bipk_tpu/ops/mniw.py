@@ -912,9 +912,18 @@ def draw_update_gather_packed_bl(
     use_pallas: bool | None = None,
     factor: jax.Array | None = None,
     fused: bool | None = None,
+    _parts: bool = False,
 ):
     """Resampling gather + :func:`draw_update_packed_bl`, same RNG stream
     (bitwise-identical results on TPU) on every path.
+
+    ``_parts=True`` (private, for :meth:`APFKernel.
+    draw_update_gather_all_packed`'s MERGED dispatch) returns
+    ``(fits, fused_fn, fallback_fn)`` instead of the ``lax.cond``
+    result when this call would take the 2-way conditional dispatch,
+    and ``None`` on every other path — multiple GPs sharing one
+    ancestor vector then share ONE ``lax.cond`` (same ``fits`` on
+    every GP), halving the per-step conditional fixed overhead.
 
     Default: conditional in-kernel-gather dispatch — the windowed fused
     kernel when every block's ancestor span fits the contiguous lane
@@ -946,6 +955,8 @@ def draw_update_gather_packed_bl(
         and phi.ndim == 2
         and _pallas_ok(S, use_pallas, m=m, gather=True)
     ):
+        if _parts:
+            return None
         S_g = jnp.take(S, ancestors, axis=-1, indices_are_sorted=True)
         return draw_update_packed_bl(
             key, S_g, phi, prior=prior, lam=lam, m=m, n=n, jitter=jitter,
@@ -972,6 +983,8 @@ def draw_update_gather_packed_bl(
             # the fused kernels (16.0 vs 10.4M psps on the SMO bench).
             fused = use_cs or n_in > 16384
     if not fused:
+        if _parts:
+            return None
         # UNCONDITIONAL path (see docstring): sorted XLA gather + fused
         # draw/update kernel — no lax.cond, no 30-MB boundary copies
         S_flat = S.reshape(S.shape[0], -1) if S.ndim == 3 else S
@@ -1037,13 +1050,18 @@ def draw_update_gather_packed_bl(
             S_new = S_new.reshape(S.shape[0], -1, 128)
         return S_new, y_, l1_, lp_
 
-    if (
+    two_way = (
         use_cs
         or use_factor
         or S.ndim == 3  # dedup wrapper not taught the blocked carry yet
         or not pk.dedup_supported(total_in)
         or not os.environ.get("BIPK_DEDUP_GATHER")
-    ):
+    )
+    if _parts:
+        # only the 2-way structure merges across GPs; the 3-tier dedup
+        # dispatch keeps its per-GP conds
+        return (fits, fused_branch, fallback) if two_way else None
+    if two_way:
         return jax.lax.cond(fits, fused_branch, fallback, None)
 
     # Degenerate-weight regime (vehicle APF: median ESS ~12 of 32768):

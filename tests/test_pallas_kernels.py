@@ -435,3 +435,34 @@ def test_dedup_gather_overflow_diverts_to_xla_fallback():
     )
     np.testing.assert_array_equal(np.asarray(yf), np.asarray(yr))
     np.testing.assert_array_equal(np.asarray(Sf), np.asarray(Sr))
+
+
+def test_merged_cond_dispatch_parts_bitwise():
+    """``_parts=True`` (the BIPK_MERGED_COND=1 multi-GP merged dispatch:
+    one lax.cond shared by every GP, since all GPs share one ancestor
+    vector and hence one ``fits``) returns branch closures whose merged
+    cond is bitwise-identical to the per-GP conditional dispatch."""
+    m, n = 9, 1
+    S, prior = _accumulated_packed(m, n)
+    anc = _sorted_ancestors(S.shape[-1], S.shape[-1], seed=19)
+    phi = jax.random.normal(
+        jax.random.key(23), (m, anc.shape[0]), jnp.float32
+    )
+    key = jax.random.key(29)
+    args = dict(prior=prior, lam=0.999, m=m, n=n, use_pallas=True)
+
+    parts = mniw.draw_update_gather_packed_bl(
+        key, S, anc, phi, fused=True, _parts=True, **args
+    )
+    assert parts is not None
+    fits, fused_fn, fallback_fn = parts
+    merged = jax.lax.cond(fits, fused_fn, fallback_fn, None)
+    ref = mniw.draw_update_gather_packed_bl(
+        key, S, anc, phi, fused=True, **args
+    )
+    for a, b in zip(merged, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the separate-gather and non-Pallas paths refuse to merge
+    assert mniw.draw_update_gather_packed_bl(
+        key, S, anc, phi, fused=False, _parts=True, **args
+    ) is None
