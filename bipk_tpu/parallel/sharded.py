@@ -158,10 +158,16 @@ def build_sharded_apf(
     # fold-in as shard 0 of the mesh run) and psum/pmax are identities,
     # so results are bitwise-identical to the 1-device shard_map run
     # (guarded by tests/test_sharded.py). ``BIPK_FORCE_SHARDMAP=1``
-    # restores the wrapper for A/B.
+    # restores the wrapper for A/B. The WINDOWED mode keeps shard_map
+    # even at one device: its host loop re-dispatches the GB-scale
+    # particle carry every <= ``window`` steps, and the shard_map output
+    # shardings are what pin that carry to a stable on-device layout
+    # between dispatches — bare jit measured 6.46M vs 8.66M psps on the
+    # full-length 1M sweep (same-day A/B, one v5e).
     single = (
         n_dev == 1
         and resampling_scheme == "local"
+        and window is None
         and not os.environ.get("BIPK_FORCE_SHARDMAP")
     )
 
@@ -557,7 +563,7 @@ def build_sharded_apf(
         )
         return carry, m0
 
-    init_sharded = jax.jit(init_shard) if single else jax.jit(shard_map(
+    init_sharded = jax.jit(shard_map(
         init_shard, mesh=mesh, in_specs=(P(), P(), P(), P()),
         out_specs=(carry_spec, moments_spec), check_vma=False,
     ))
@@ -569,7 +575,7 @@ def build_sharded_apf(
             _step_fn, carry, (obs_w, inp_prev_w, inp_cur_w, keys_w)
         )
 
-    window_sharded = jax.jit(window_shard) if single else jax.jit(shard_map(
+    window_sharded = jax.jit(shard_map(
         window_shard, mesh=mesh,
         in_specs=(carry_spec, P(), P(), P(), P()),
         out_specs=(carry_spec, moments_spec),
@@ -587,13 +593,11 @@ def build_sharded_apf(
         )
         return final_state.T, final_log_w, tuple(final_stats)
 
-    finalize_sharded = jax.jit(finalize_shard) if single else jax.jit(
-        shard_map(
-            finalize_shard, mesh=mesh, in_specs=(carry_spec,),
-            out_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS), stats_spec),
-            check_vma=False,
-        )
-    )
+    finalize_sharded = jax.jit(shard_map(
+        finalize_shard, mesh=mesh, in_specs=(carry_spec,),
+        out_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS), stats_spec),
+        check_vma=False,
+    ))
 
     def run_windowed(
         key, observations, inputs, init_state_mean, init_state_cov
